@@ -1,0 +1,353 @@
+"""Distributed Leiden/Louvain (scale mode) — idiomatic PySpark.
+
+This is the 100 TB path. Exact-label parity with the reference is the job of
+the deterministic-match kernel (operators/kernel.py); this module preserves
+the *pass-level contract* of the reference pipeline
+(inc/leiden.hxx:1192-1305):
+
+- tolerance schedule: E = 1e-2, E /= 10 per pass (inc/leiden.hxx:1295)
+- round convergence when the gain l1-norm <= E (inc/leiden.hxx:1228)
+- refinement: singleton re-init + one constrained sweep bounded by the
+  local-move result (inc/leiden.hxx:1259-1268)
+- aggregation-tolerance early exit CN/GN >= 0.8 (inc/leiden.hxx:1271-1275)
+- order-preserving dense renumbering (inc/leiden.hxx:1276-1277)
+- dendrogram flattening ucom[u] = vcom[ucom[u]] (inc/leiden.hxx:1278-1279)
+- max 20 move rounds / pass, max 10 passes (inc/leiden.hxx:62)
+
+Three move-phase execution strategies, chosen per pass:
+
+1. ``sweep`` (default while the graph is big): partitioned Gauss-Seidel —
+   edges hash-partitioned by src (each vertex's adjacency co-located), one
+   ``mapInPandas`` job per coarse round sweeping every partition against a
+   broadcast state snapshot (operators/sweep.py). The Spark analogue of the
+   reference's per-thread async loop (inc/leiden.hxx:646-668).
+2. ``rounds``: pure-DataFrame bulk-synchronous rounds (A4 join-agg + argmax
+   via max_by). Unbounded state (no broadcast), one shuffle chain per round;
+   the fallback beyond ~10^9 vertices, and the reference plan for the
+   correctness-gated operator queries.
+3. driver fast path: once the aggregated graph fits trivially in the driver
+   (late passes — super-graphs shrink geometrically), finish with the
+   deterministic kernel. Mirrors the reference's own switch from DiGraph to
+   packed CSR after pass 1 (inc/leiden.hxx:1249-1250).
+
+Physical design per sweep round: the only big relation (edges) is shuffled
+ONCE per pass (repartition by src, then reused persisted); each round ships
+O(|V|) broadcast state out and O(movers) rows back. Hub skew is immaterial
+to the shuffle (hash by src spreads adjacency rows) and the in-task sweep is
+linear in partition edges.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .kernel import CsrGraph, LeidenOptions, leiden_exact
+from .sweep import DriverState, sweep_partition
+
+_MOVES_SCHEMA = "id long, community_new long, gain double"
+
+
+@dataclass
+class LeidenRunResult:
+    membership: DataFrame                  # (id: long, community: long)
+    modularity: float
+    passes: int
+    iterations: int
+    M: float
+    metrics: list[dict] = field(default_factory=list)
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Cut lineage inside iterative loops: an eager localCheckpoint keeps
+    each round's plan O(1) instead of O(rounds). On a cluster this is a
+    reliable checkpoint / shuffle-reuse point."""
+    return df.localCheckpoint(eager=True)
+
+
+def vertex_weights(edges: DataFrame) -> DataFrame:
+    """A2 (inc/leiden.hxx:216-224): vtot[u] = Σ incident weights (self-loops
+    included)."""
+    return edges.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("vtot"))
+
+
+def community_weights(memb: DataFrame, vtot: DataFrame) -> DataFrame:
+    """A3 (inc/leiden.hxx:252-263): ctot[c] = Σ member vtot."""
+    return memb.join(vtot, "id").groupBy("community").agg(F.sum("vtot").alias("ctot"))
+
+
+def modularity_df(edges: DataFrame, memb: DataFrame, M: float, resolution: float = 1.0) -> float:
+    """A14 (inc/properties.hxx:205-233): Q = Σ_c cin/(2M) − R·(ctot/(2M))²
+    over the directed edge scan (each undirected edge twice)."""
+    ms = memb.select(F.col("id").alias("src"), F.col("community").alias("cs"))
+    md = memb.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+    per_comm = (
+        edges.join(ms, "src").join(md, "dst")
+        .groupBy("cs")
+        .agg(
+            F.sum(F.when(F.col("cs") == F.col("cd"), F.col("w")).otherwise(0.0)).alias("cin"),
+            F.sum("w").alias("ctot"),
+        )
+    )
+    row = per_comm.select(
+        F.sum(F.col("cin") / (2.0 * M) - resolution * F.pow(F.col("ctot") / (2.0 * M), F.lit(2.0))).alias("q")
+    ).collect()[0]
+    return float(row["q"] or 0.0)
+
+
+def _compose(outer: DataFrame, inner: DataFrame) -> DataFrame:
+    """Dendrogram flattening R3 (inc/leiden.hxx:898-904):
+    outer.community := inner[outer.community]. ``inner`` is small (one row
+    per super-vertex) → broadcast join."""
+    m = F.broadcast(inner.select(F.col("id").alias("community"), F.col("community").alias("cnew")))
+    return outer.join(m, "community").select("id", F.col("cnew").alias("community"))
+
+
+def _move_round(edges: DataFrame, memb: DataFrame, vtot: DataFrame, ctot: DataFrame,
+                M: float, R: float, aff: DataFrame | None = None,
+                bound: DataFrame | None = None, refine: bool = False) -> DataFrame:
+    """One bulk-synchronous local-move round (``rounds`` strategy) → moves
+    (id, community_new, gain): strictly-positive-gain argmax over scanned
+    communities (L1+L2: inc/properties.hxx:253-256, inc/leiden.hxx:492-502)
+    against the round-start snapshot; ties broken by smallest target id."""
+    ms = memb.select(F.col("id").alias("src"), F.col("community").alias("d"))
+    md = memb.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+
+    e = edges.filter(F.col("src") != F.col("dst"))  # scan skips self (inc/leiden.hxx:414)
+    if aff is not None:
+        e = e.join(aff.select(F.col("id").alias("src")), "src", "left_semi")
+    if refine and bound is not None:
+        bs = bound.select(F.col("id").alias("src"), F.col("bound").alias("bs"))
+        bd = bound.select(F.col("id").alias("dst"), F.col("bound").alias("bd"))
+        e = e.join(bs, "src").join(bd, "dst").filter(F.col("bs") == F.col("bd")).drop("bs", "bd")
+
+    vcout = e.join(md, "dst").groupBy("src", "cd").agg(F.sum("w").alias("vcout"))  # A4
+    cand = (
+        vcout.join(ms, "src")
+        .join(vtot.select(F.col("id").alias("src"), "vtot"), "src")
+        .join(F.broadcast(ctot.select(F.col("community").alias("cd"), F.col("ctot").alias("ctot_c"))), "cd")
+        .join(F.broadcast(ctot.select(F.col("community").alias("d"), F.col("ctot").alias("ctot_d"))), "d")
+    )
+    vdout = (
+        vcout.join(ms, "src").filter(F.col("cd") == F.col("d"))
+        .select("src", F.col("vcout").alias("vdout"))
+    )
+    cand = cand.join(vdout, "src", "left").na.fill({"vdout": 0.0})
+    if refine:
+        cand = cand.filter(F.col("ctot_d") <= F.col("vtot"))  # singleton source (inc/leiden.hxx:590)
+
+    gain = (
+        (F.col("vcout") - F.col("vdout")) / F.lit(M)
+        - F.lit(R) * F.col("vtot") * (F.col("vtot") + F.col("ctot_c") - F.col("ctot_d")) / F.lit(2.0 * M * M)
+    )
+    scored = (
+        cand.filter(F.col("cd") != F.col("d"))
+        .withColumn("gain", gain).filter(F.col("gain") > 0)
+    )
+    return scored.groupBy("src").agg(
+        F.expr("max_by(cd, struct(gain, -cd))").alias("community_new"),
+        F.max("gain").alias("gain"),
+    ).select(F.col("src").alias("id"), "community_new", "gain")
+
+
+# ---------------------------------------------------------------------------
+# scale-mode driver loop
+# ---------------------------------------------------------------------------
+
+def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions | None = None,
+                 refine: bool = True, checkpointer=None, verbose: bool = False,
+                 num_partitions: int = 32, local_iters: int = 4,
+                 driver_threshold: int = 20000) -> LeidenRunResult:
+    """Distributed Leiden (``refine=True``) / Louvain (``refine=False``).
+
+    ``edges`` must be symmetric and deduplicated (sources/edges.py).
+    ``num_partitions`` fixes the sweep partitioning (determinism across core
+    counts). ``driver_threshold``: aggregated graphs at or below this many
+    edge rows finish on the driver with the deterministic kernel.
+    ``checkpointer``: plans.checkpoint.CheckpointManager for per-super-step
+    persistence + resume.
+    """
+    o = options or LeidenOptions()
+    R = o.resolution
+    metrics: list[dict] = []
+
+    edges0 = _materialize(edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"), F.col("w").cast("double")))
+    M = float(edges0.agg(F.sum("w")).collect()[0][0] or 0.0) / 2.0  # A1 (main.cxx:61)
+    if M <= 0:
+        empty = spark.createDataFrame([], "id long, community long")
+        return LeidenRunResult(empty, 0.0, 0, 0, 0.0, [])
+
+    sc = spark.sparkContext
+    g = edges0
+    ucom: DataFrame | None = None
+    total_iters = 0
+    p = 0
+    E = o.tolerance
+
+    if checkpointer is not None:
+        resumed = checkpointer.latest(spark)
+        if resumed is not None:
+            p, ucom, g, E, total_iters, metrics = resumed
+            ucom = _materialize(ucom)
+            g = _materialize(g)
+            if verbose:
+                print(f"[leiden_scale] resumed at pass={p}")
+
+    while True:
+        t0 = time.time()
+        n_edges = g.count()
+
+        # ---- driver fast path: finish small super-graphs with the kernel ----
+        if n_edges <= driver_threshold:
+            pdf = g.toPandas()
+            vid = np.unique(np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
+            src_i = np.searchsorted(vid, pdf["src"].to_numpy())
+            dst_i = np.searchsorted(vid, pdf["dst"].to_numpy())
+            triples = sorted(zip(src_i.tolist(), dst_i.tolist(), pdf["w"].tolist()))
+            csr = CsrGraph.__new__(CsrGraph)
+            indptr = [0] * (len(vid) + 1)
+            dsts, ws = [], []
+            j = 0
+            for u in range(len(vid)):
+                while j < len(triples) and triples[j][0] == u:
+                    dsts.append(triples[j][1]); ws.append(triples[j][2]); j += 1
+                indptr[u + 1] = len(dsts)
+            csr.span, csr.indptr, csr.dst, csr.w = len(vid), indptr, dsts, ws
+            csr.exists = [True] * len(vid)
+            sub = leiden_exact(csr, LeidenOptions(
+                resolution=R, tolerance=E, aggregation_tolerance=o.aggregation_tolerance,
+                tolerance_drop=o.tolerance_drop, max_iterations=o.max_iterations,
+                max_passes=max(o.max_passes - p, 1)), refine=refine)
+            memb_rows = [(int(vid[i]), int(sub.membership[i])) for i in range(len(vid))]
+            memb_df = spark.createDataFrame(memb_rows, "id long, community long")
+            ucom = _materialize(memb_df if ucom is None else _compose(ucom, memb_df))
+            total_iters += sub.iterations
+            p += sub.passes
+            metrics.append({"pass": p, "strategy": "driver-kernel",
+                            "vertices": len(vid), "edges": int(n_edges),
+                            "kernel_passes": sub.passes,
+                            "pass_seconds": round(time.time() - t0, 3)})
+            if verbose:
+                print(f"[leiden_scale] driver-kernel finish: +{sub.passes} passes "
+                      f"({time.time() - t0:.1f}s)")
+            break
+
+        # ---- distributed pass (sweep strategy) ----
+        part_edges = (
+            g.repartition(num_partitions, "src").sortWithinPartitions("src", "dst").persist()
+        )
+        vt = part_edges.groupBy("src").agg(F.sum("w").alias("vtot")).toPandas().sort_values("src")
+        state = DriverState(vt["src"].to_numpy(np.int64), vt["vtot"].to_numpy())
+        gn = len(state.vid)
+
+        def run_sweep(st_dict, refine_flag, E_cur, direction=0):
+            bc = sc.broadcast(st_dict)
+            try:
+                out = part_edges.mapInPandas(
+                    lambda it: sweep_partition(it, bc.value, M, R, E_cur,
+                                               1 if refine_flag else local_iters,
+                                               refine_flag, direction),
+                    schema=_MOVES_SCHEMA,
+                ).toPandas()
+            finally:
+                bc.destroy()
+            return out
+
+        move_iters = 0
+        t_move0 = time.time()
+        el_prev = float("inf")
+        for rnd in range(o.max_iterations):
+            # alternate move direction across coarse rounds to break
+            # cross-partition swap cycles (see sweep_partition docstring);
+            # a single partition has no stale state and sweeps freely
+            direction = 0 if num_partitions <= 1 else (-1 if rnd % 2 == 0 else 1)
+            out = run_sweep(state.snapshot(), False, E, direction)
+            move_iters += 1
+            if len(out):
+                pos = state.pos(out["id"].to_numpy(np.int64))
+                state.comm[pos] = out["community_new"].to_numpy(np.int64)
+                state.recompute_ctot()
+            el = float(out["gain"].sum()) if len(out) else 0.0
+            # a direction-constrained round sees only half the move space, so
+            # convergence needs two consecutive below-tolerance rounds
+            if len(out) == 0 or (el <= E and (direction == 0 or el_prev <= E)):
+                break
+            el_prev = el
+        t_move = time.time() - t_move0
+
+        t_ref0 = time.time()
+        if refine:
+            bound = state.comm.copy()
+            state.comm = state.vid.copy()          # singleton re-init
+            state.ctot = state.vtot.copy()
+            out = run_sweep(state.snapshot(bound), True, E)
+            if len(out):
+                # sequential acceptance in ascending id order replicates the
+                # source-still-singleton check (inc/leiden.hxx:536-548)
+                out = out.sort_values("id")
+                ids = state.pos(out["id"].to_numpy(np.int64))
+                tgts = out["community_new"].to_numpy(np.int64)
+                vidpos = {int(v): i for i, v in enumerate(state.vid)}
+                for k in range(len(ids)):
+                    up = ids[k]
+                    d = int(state.comm[up])
+                    dp = vidpos[d]
+                    if state.ctot[dp] > state.vtot[up]:
+                        continue
+                    cp = vidpos[int(tgts[k])]
+                    state.ctot[dp] -= state.vtot[up]
+                    state.ctot[cp] += state.vtot[up]
+                    state.comm[up] = tgts[k]
+        t_ref = time.time() - t_ref0
+
+        total_iters += max(move_iters, 1)
+        p += 1
+        cn = state.n_communities()
+        metrics.append({"pass": p, "strategy": "sweep", "move_iterations": move_iters,
+                        "vertices": gn, "communities": cn, "edges": int(n_edges),
+                        "tolerance": E, "move_seconds": round(t_move, 3),
+                        "refine_seconds": round(t_ref, 3),
+                        "pass_seconds": round(time.time() - t0, 3)})
+        if verbose:
+            print(f"[leiden_scale] pass={p} sweep iters={move_iters} GN={gn} CN={cn} "
+                  f"E={E:g} ({time.time() - t0:.1f}s)")
+
+        # renumber dense, order-preserving (R2)
+        uniq = np.unique(state.comm)
+        dense = np.searchsorted(uniq, state.comm)
+        memb_df = spark.createDataFrame(
+            [(int(state.vid[i]), int(dense[i])) for i in range(gn)], "id long, community long")
+        ucom = _materialize(memb_df if ucom is None else _compose(ucom, memb_df))
+
+        stop = move_iters <= 1 or p >= o.max_passes or float(cn) / gn >= o.aggregation_tolerance
+        if stop:
+            part_edges.unpersist()
+            break
+
+        # aggregate (A9): relabel both endpoints, sum — self-loops kept
+        ms = F.broadcast(memb_df.select(F.col("id").alias("src"), F.col("community").alias("cs")))
+        md = F.broadcast(memb_df.select(F.col("id").alias("dst"), F.col("community").alias("cd")))
+        g = _materialize(
+            part_edges.join(ms, "src").join(md, "dst")
+            .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+            .agg(F.sum("w").alias("w"))
+        )
+        part_edges.unpersist()
+        E /= o.tolerance_drop
+        if checkpointer is not None:
+            checkpointer.save(p, ucom, g, E, total_iters, metrics)
+
+    q = modularity_df(edges0, ucom, M, R)
+    return LeidenRunResult(ucom, q, p, total_iters, M, metrics)
+
+
+def louvain_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions | None = None,
+                  checkpointer=None, verbose: bool = False, **kw) -> LeidenRunResult:
+    """Louvain ablation = Leiden minus refinement (inc/louvain.hxx:1010-1110)."""
+    return leiden_scale(spark, edges, options, refine=False,
+                        checkpointer=checkpointer, verbose=verbose, **kw)
