@@ -101,6 +101,7 @@ def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
     u_start = u_start.tolist()
     u_pos = [pos_map[int(u)] for u in u_ids]
     u_ids = u_ids.tolist()
+    local_ids = set(u_ids)
 
     moved: dict[int, int] = {}
     gains: dict[int, float] = {}
@@ -139,10 +140,17 @@ def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
             for c in vcs:
                 if c == d:
                     continue
-                if direction > 0 and c <= d:
-                    continue
-                if direction < 0 and c >= d:
-                    continue
+                # direction rule applies only to REMOTE targets (community
+                # anchor not owned by this partition): local moves see fresh
+                # Gauss-Seidel state, and a cross-partition swap still needs
+                # one up-move and one down-move in the same round — both
+                # remote from their own partition's view — so swap cycles
+                # remain impossible.
+                if direction != 0 and c not in local_ids:
+                    if direction > 0 and c <= d:
+                        continue
+                    if direction < 0 and c >= d:
+                        continue
                 g = (vcout[c] - vdout) / M - R * uvt * (uvt + ctot_l[pos_map[c]] - ctd) / two_mm
                 if g > emax:
                     emax = g
