@@ -70,6 +70,27 @@ def aggregate_graph(edges: DataFrame, memb: DataFrame) -> DataFrame:
     )
 
 
+def aggregate_graph_salted(edges: DataFrame, memb: DataFrame, salt: int = 16) -> DataFrame:
+    """A9 with explicit hub salting (O7, SURVEY §7 hard-part 6): giant
+    communities concentrate the (comm_src, comm_dst) key space, so the final
+    aggregation is split into ``salt`` sub-keys first (partial sums spread
+    across reducers), then combined. Same result as aggregate_graph; use for
+    graphs whose largest community covers a large fraction of edges when AQE
+    skew handling alone is not enough."""
+    ms = memb.select(F.col("id").alias("src"), F.col("community").alias("cs"))
+    md = memb.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+    partial = (
+        edges.join(ms, "src").join(md, "dst")
+        .withColumn("_salt", F.pmod(F.xxhash64("src"), F.lit(salt)))
+        .groupBy("cs", "cd", "_salt")
+        .agg(F.sum("w").alias("w"))
+    )
+    return (
+        partial.groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+        .agg(F.sum("w").alias("w"))
+    )
+
+
 def modularity_per_community(edges: DataFrame, memb: DataFrame, resolution: float = 1.0) -> DataFrame:
     """A14 (inc/properties.hxx:205-233) → (community, cin, ctot, q_c);
     Σ q_c is the graph modularity."""

@@ -19,11 +19,14 @@ from pyspark.sql import functions as F
 STEPS = ((1, 1), (2, 3), (5, 7))
 
 
-def block_circulant(spark: SparkSession, n: int = 4096, b: int = 64) -> DataFrame:
-    """Directed edge table (src, dst, w=1.0), self-loops removed."""
+def block_circulant(spark: SparkSession, n: int = 4096, b: int = 64,
+                    steps=STEPS) -> DataFrame:
+    """Directed edge table (src, dst, w=1.0), self-loops removed.
+    ``steps`` controls density — benchmarks pass larger step sets
+    (see dense_steps) to scale per-vertex degree without changing |V|."""
     base = spark.range(n).select(F.col("id").alias("src"))
     parts = []
-    for a, c in STEPS:
+    for a, c in steps:
         j = F.col("src") % b
         dst = F.col("src") - j + (j * a + c) % b
         parts.append(base.select("src", dst.alias("dst")))
@@ -35,6 +38,35 @@ def block_circulant(spark: SparkSession, n: int = 4096, b: int = 64) -> DataFram
         .distinct()
         .withColumn("w", F.lit(1.0))
     )
+
+
+def dense_steps(k: int):
+    """k deterministic (a, c) step pairs with odd strides (distinct targets
+    for most offsets); includes (1, 1) so each block stays connected."""
+    return tuple((2 * i + 1, i + 1) for i in range(k))
+
+
+def planted_hard(spark: SparkSession, n: int, b: int = 256,
+                 intra: int = 8, inter: int = 3) -> DataFrame:
+    """Harder deterministic benchmark graph: ``intra`` in-block circulant
+    steps plus ``inter`` arithmetic cross-block edges per vertex (planted
+    communities with noise — the local-moving phase needs real work, unlike
+    the pure block graph that converges in one sweep). Pure integer
+    arithmetic over spark.range: generation is fully distributed."""
+    base = spark.range(n).select(F.col("id").alias("src"))
+    parts = []
+    j = F.col("src") % b
+    for a, c in dense_steps(intra):
+        parts.append(base.select("src", (F.col("src") - j + (j * a + c) % b).alias("dst")))
+    for k in range(1, inter + 1):
+        # noise edges into the k-th next block (nearby-block noise keeps the
+        # coarsened super-graph sparse: ~inter super-edges per community)
+        parts.append(base.select(
+            "src", ((F.col("src") - j + k * b + (F.col("src") * 13 + k) % b) % n).alias("dst")))
+    e = parts[0]
+    for p in parts[1:]:
+        e = e.unionByName(p)
+    return e.filter(F.col("src") != F.col("dst")).distinct().withColumn("w", F.lit(1.0))
 
 
 def block_circulant_sql(n: int = 4096, b: int = 64) -> str:
