@@ -51,6 +51,55 @@ from .sweep import DriverState, sweep_partition
 
 _MOVES_SCHEMA = "id long, community_new long, gain double"
 
+_PART_LABELS: dict[int, list[int]] = {}
+
+
+def _partition_labels(spark: SparkSession, p: int) -> list[int]:
+    """For each target partition i in 0..p-1, a long label L_i with
+    ``pmod(hash(L_i), p) == i`` under Spark's Murmur3 ``hash``. Tagging each
+    edge with the label of its range bucket and hash-repartitioning on the
+    tag places bucket i exactly in partition i — explicit, deterministic
+    range placement through the stock HashPartitioning (no sampling, so
+    results are bit-identical across core counts, unlike
+    ``repartitionByRange`` whose reservoir-sampled boundaries may shift with
+    upstream parallelism)."""
+    if p not in _PART_LABELS:
+        rows = (
+            spark.range(0, 64 * p)
+            .select(F.col("id"), F.pmod(F.hash(F.col("id")), F.lit(p)).alias("h"))
+            .groupBy("h").agg(F.min("id").alias("label"))
+            .collect()
+        )
+        by_h = {int(r["h"]): int(r["label"]) for r in rows}
+        assert len(by_h) == p, f"hash label search incomplete: {len(by_h)}/{p}"
+        _PART_LABELS[p] = [by_h[i] for i in range(p)]
+    return _PART_LABELS[p]
+
+
+def _range_partition_edges(spark: SparkSession, g: DataFrame, vid, weight, p: int) -> DataFrame:
+    """CSR-style adjacency partitions: contiguous vertex-id ranges with
+    ~equal total degree per partition. Web link graphs (and every renumbered
+    super-graph) have strong id locality, so range placement keeps most of a
+    vertex's neighborhood partition-local — the partition sweep then runs
+    fresh Gauss-Seidel instead of damped stale rounds. Boundaries come from
+    the driver's exact degree-cumsum percentiles (deterministic)."""
+    import numpy as np
+    import pandas as pd
+
+    cum = np.cumsum(weight)
+    total = float(cum[-1]) if len(cum) else 0.0
+    targets = np.linspace(0, total, p + 1)[1:-1]
+    bounds = np.searchsorted(cum, targets)          # vid index upper bounds
+    bucket = np.searchsorted(bounds, np.arange(len(vid)), side="right")
+    labels = np.asarray(_partition_labels(spark, p), dtype=np.int64)
+    part_df = spark.createDataFrame(pd.DataFrame({
+        "src": np.asarray(vid, dtype=np.int64), "_part": labels[bucket]}))
+    return (
+        g.join(F.broadcast(part_df), "src")
+        .repartition(p, "_part").drop("_part")
+        .sortWithinPartitions("src", "dst")
+    )
+
 
 @dataclass
 class LeidenRunResult:
@@ -247,11 +296,15 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             break
 
         # ---- distributed pass (sweep strategy) ----
-        part_edges = (
-            g.repartition(num_partitions, "src").sortWithinPartitions("src", "dst").persist()
+        vt = (
+            g.groupBy("src")
+            .agg(F.sum("w").alias("vtot"), F.count(F.lit(1)).alias("deg"))
+            .toPandas().sort_values("src")
         )
-        vt = part_edges.groupBy("src").agg(F.sum("w").alias("vtot")).toPandas().sort_values("src")
         state = DriverState(vt["src"].to_numpy(np.int64), vt["vtot"].to_numpy())
+        part_edges = _range_partition_edges(
+            spark, g, state.vid, vt["deg"].to_numpy(np.float64), num_partitions
+        ).persist()
         gn = len(state.vid)
 
         def run_sweep(st_dict, refine_flag, E_cur, direction=0):

@@ -3,11 +3,23 @@
 Spark analogue of the reference's per-thread asynchronous local-moving
 (leidenMoveOmpW, inc/leiden.hxx:646-668): the edge table is hash-partitioned
 by ``src`` so every vertex's full adjacency lives in exactly one partition;
-each partition task runs a Gauss-Seidel sweep over its own vertices against
-a broadcast snapshot of (membership, vtot, ctot), applying moves to its
-*local* copy as it goes (the same stale-read tolerance as the reference's
-racy OpenMP loop); the driver then reconciles all emitted label changes
-exactly and recomputes community weights. One coarse round == one Spark job.
+each partition task runs a block-Gauss-Seidel sweep over its own vertices
+against a broadcast snapshot of (membership, vtot, ctot), applying moves to
+its *local* copy as it goes (the same stale-read tolerance as the
+reference's racy OpenMP loop); the driver then reconciles all emitted label
+changes exactly and recomputes community weights. One coarse round == one
+Spark job.
+
+Kernel shape (vectorized, numpy): vertices are processed in blocks. Per
+block, the community tally A4 (inc/leiden.hxx:412-463) runs as one
+lexsort + add.reduceat over the block's adjacency rows, the gain L1
+(inc/properties.hxx:253-256) and argmax L2 as array expressions, and the
+winning candidates are then *accepted sequentially in ascending vertex
+order against live community weights* — the Spark-side equivalent of the
+reference's immediate-apply loop (inc/leiden.hxx:588-597), with the
+acceptance recheck standing in for its atomics. Later blocks see earlier
+blocks' moves (fresh labels), so within a partition this is Gauss-Seidel at
+block granularity and exact at the community-weight level.
 
 Scale notes: edges (the 100 TB relation) never leave the executors; the
 broadcast state is O(|V|) and works to ~10^8-10^9 vertices — beyond that the
@@ -55,21 +67,25 @@ class DriverState:
 
 
 def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
-                    max_local_iters: int, refine: bool, direction: int = 0):
-    """Executor-side sweep over one adjacency partition.
+                    max_local_iters: int, refine: bool, direction: int = 0,
+                    block: int = 8192):
+    """Executor-side vectorized sweep over one adjacency partition.
 
     ``pdf_iter``: iterator of pandas batches with columns (src, dst, w),
     sorted by (src, dst) within the partition. Yields one pandas DataFrame
-    of (id, community_new, gain) for vertices that moved (last label wins;
-    gain accumulated over local iterations).
+    of (id, community_new, gain) for vertices that moved (final label;
+    gain accumulated over accepted moves).
 
     ``direction``: cross-partition oscillation damping. 0 = unconstrained
     (single partition — fresh state, no races). -1/+1 = only moves to a
     community id lower/higher than the current one are allowed this coarse
-    round; alternating the sign each round makes a two-vertex swap cycle
-    impossible (a swap needs one down-move AND one up-move in the same
-    round), the standard deterministic remedy for bulk-synchronous
-    label ping-pong between stale partitions.
+    round for *remote* targets (community anchor not owned by this
+    partition); alternating the sign each round makes a two-vertex swap
+    cycle impossible (a swap needs one down-move AND one up-move in the
+    same round, both remote from their own partition's view), the standard
+    deterministic remedy for bulk-synchronous label ping-pong between
+    stale partitions. Local targets see fresh Gauss-Seidel state and sweep
+    freely.
     """
     import pandas as pd
 
@@ -86,90 +102,121 @@ def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
         return
 
     vid = state["vid"]
-    pos_map = {int(v): i for i, v in enumerate(vid)}
-    comm_l = state["comm"].tolist()
-    vtot_l = state["vtot"].tolist()
-    ctot_l = state["ctot"].copy().tolist()
-    bound_l = state["bound"].tolist() if refine else None
+    nv = len(vid)
+    vtot = state["vtot"]                                   # by vid position
+    ctot = np.array(state["ctot"], dtype=np.float64)       # live local copy
+    commp = np.searchsorted(vid, state["comm"])            # comm as position
+    bound = state.get("bound") if refine else None         # raw ids, by pos
 
-    src = edf["src"].to_numpy()
-    dst_pos_l = np.searchsorted(vid, edf["dst"].to_numpy()).tolist()
-    w_l = edf["w"].to_numpy(dtype=np.float64).tolist()
+    src = edf["src"].to_numpy(np.int64)
+    dstp = np.searchsorted(vid, edf["dst"].to_numpy(np.int64))
+    w = edf["w"].to_numpy(np.float64)
 
-    u_ids, u_start = np.unique(src, return_index=True)
-    u_end = np.append(u_start[1:], len(src)).tolist()
-    u_start = u_start.tolist()
-    u_pos = [pos_map[int(u)] for u in u_ids]
-    u_ids = u_ids.tolist()
-    local_ids = set(u_ids)
+    u_ids, u_counts = np.unique(src, return_counts=True)
+    nu = len(u_ids)
+    u_start = np.concatenate([[0], np.cumsum(u_counts)])
+    upos = np.searchsorted(vid, u_ids)                     # local u → vid pos
+    row_u = np.repeat(np.arange(nu), u_counts)             # local u per row
+    is_local = np.zeros(nv, dtype=bool)
+    is_local[upos] = True
 
-    moved: dict[int, int] = {}
-    gains: dict[int, float] = {}
     two_mm = 2.0 * M * M
-    for _ in range(max_local_iters):
+    ever_moved = np.zeros(nu, dtype=bool)
+    acc_gain = np.zeros(nu, dtype=np.float64)
+
+    for _ in range(max(max_local_iters, 1)):
         el = 0.0
         any_move = False
-        for k in range(len(u_ids)):
-            up = u_pos[k]
-            uvt = vtot_l[up]
-            d = comm_l[up]
-            dp = pos_map[d]
-            if refine and ctot_l[dp] > uvt:
+        for b0 in range(0, nu, block):
+            b1 = min(b0 + block, nu)
+            r0, r1 = u_start[b0], u_start[b1]
+            ru = row_u[r0:r1]
+            rv = dstp[r0:r1]
+            rw = w[r0:r1]
+            rup = upos[ru]
+            mask = rv != rup                    # skip self (inc/leiden.hxx:414)
+            if refine:
+                mask &= bound[rv] == bound[rup]  # bound constraint (hxx:415)
+            if not mask.any():
                 continue
-            vcs = []
-            vcout = {}
-            ub = bound_l[up] if refine else 0
-            for i in range(u_start[k], u_end[k]):
-                vp = dst_pos_l[i]
-                if vp == up:
-                    continue
-                if refine and bound_l[vp] != ub:
-                    continue
-                c = comm_l[vp]
-                if c in vcout:
-                    vcout[c] += w_l[i]
+            ru, rv, rw, rup = ru[mask], rv[mask], rw[mask], rup[mask]
+            rc = commp[rv]
+            # A4 tally: vcout[(u, c)] = Σ w — one lexsort + reduceat
+            order = np.lexsort((rc, ru))
+            gu = ru[order]
+            gc = rc[order]
+            gw = rw[order]
+            newgrp = np.empty(len(gu), dtype=bool)
+            newgrp[0] = True
+            np.logical_or(gu[1:] != gu[:-1], gc[1:] != gc[:-1], out=newgrp[1:])
+            starts = np.flatnonzero(newgrp)
+            vcout = np.add.reduceat(gw, starts)
+            g_u = gu[starts]
+            g_c = gc[starts]
+            g_up = upos[g_u]
+            g_d = commp[g_up]
+            # vdout: the tally of u's own community
+            vd = np.zeros(b1 - b0, dtype=np.float64)
+            own = g_c == g_d
+            vd[g_u[own] - b0] = vcout[own]
+            vdout = vd[g_u - b0]
+            uvt = vtot[g_up]
+            gain = (vcout - vdout) / M - R * uvt * (uvt + ctot[g_c] - ctot[g_d]) / two_mm
+            cand = (g_c != g_d) & (gain > 0.0)
+            if refine:
+                cand &= ctot[g_d] <= uvt        # singleton source (hxx:590)
+            if direction != 0:
+                rem = ~is_local[g_c]
+                if direction > 0:
+                    cand &= ~rem | (vid[g_c] > vid[g_d])
                 else:
-                    vcs.append(c)
-                    vcout[c] = w_l[i]
-            if not vcs:
+                    cand &= ~rem | (vid[g_c] < vid[g_d])
+            idx = np.flatnonzero(cand)
+            if idx.size == 0:
                 continue
-            vdout = vcout.get(d, 0.0)
-            ctd = ctot_l[dp]
-            cmax = -1
-            emax = 0.0
-            for c in vcs:
-                if c == d:
+            # L2 argmax per u, deterministic tie-break (max gain, min comm id)
+            cu = g_u[idx]
+            o2 = np.lexsort((-vid[g_c[idx]], gain[idx], cu))
+            cu_s = cu[o2]
+            last = np.flatnonzero(np.append(cu_s[1:] != cu_s[:-1], True))
+            pick = idx[o2[last]]                # one winner per u, u ascending
+            # sequential acceptance against LIVE ctot (the reference's
+            # immediate-apply, inc/leiden.hxx:588-597)
+            p_u = g_u[pick]
+            p_up = g_up[pick]
+            p_cp = g_c[pick]
+            p_vc = vcout[pick]
+            p_vd = vdout[pick]
+            for t in range(len(pick)):
+                up = p_up[t]
+                cp = p_cp[t]
+                dp = commp[up]
+                if cp == dp:
                     continue
-                # direction rule applies only to REMOTE targets (community
-                # anchor not owned by this partition): local moves see fresh
-                # Gauss-Seidel state, and a cross-partition swap still needs
-                # one up-move and one down-move in the same round — both
-                # remote from their own partition's view — so swap cycles
-                # remain impossible.
-                if direction != 0 and c not in local_ids:
-                    if direction > 0 and c <= d:
-                        continue
-                    if direction < 0 and c >= d:
-                        continue
-                g = (vcout[c] - vdout) / M - R * uvt * (uvt + ctot_l[pos_map[c]] - ctd) / two_mm
-                if g > emax:
-                    emax = g
-                    cmax = c
-            if cmax >= 0:
-                ctot_l[dp] -= uvt
-                ctot_l[pos_map[cmax]] += uvt
-                comm_l[up] = cmax
-                uid = int(u_ids[k])
-                moved[uid] = cmax
-                gains[uid] = gains.get(uid, 0.0) + emax
-                el += emax
+                uv = vtot[up]
+                if refine and ctot[dp] > uv:
+                    continue
+                g = (p_vc[t] - p_vd[t]) / M - R * uv * (uv + ctot[cp] - ctot[dp]) / two_mm
+                if g <= 0.0:
+                    continue
+                ctot[dp] -= uv
+                ctot[cp] += uv
+                commp[up] = cp
+                k = p_u[t]
+                ever_moved[k] = True
+                acc_gain[k] += g
+                el += g
                 any_move = True
         if refine or not any_move or el <= E:
             break
 
-    ids = list(moved.keys())
+    # emit only NET movers (final label != round-start label): the driver
+    # applies labels and recomputes ctot, so internal ping-pong that lands
+    # back home carries no information and would only inflate the collect
+    commp0 = np.searchsorted(vid, state["comm"])
+    mk = np.flatnonzero(ever_moved & (commp[upos] != commp0[upos]))
     yield pd.DataFrame({
-        "id": pd.Series(ids, dtype="int64"),
-        "community_new": pd.Series([moved[i] for i in ids], dtype="int64"),
-        "gain": pd.Series([gains[i] for i in ids], dtype="float64"),
+        "id": pd.Series(u_ids[mk], dtype="int64"),
+        "community_new": pd.Series(vid[commp[upos[mk]]], dtype="int64"),
+        "gain": pd.Series(acc_gain[mk], dtype="float64"),
     })
