@@ -209,7 +209,7 @@ def _move_round(edges: DataFrame, memb: DataFrame, vtot: DataFrame, ctot: DataFr
 
 def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions | None = None,
                  refine: bool = True, checkpointer=None, verbose: bool = False,
-                 num_partitions: int = 32, local_iters: int = 4,
+                 num_partitions: int = 32, local_iters: int = 20,
                  driver_threshold: int = 50000,
                  driver_vertex_threshold: int = 20000) -> LeidenRunResult:
     """Distributed Leiden (``refine=True``) / Louvain (``refine=False``).
@@ -308,10 +308,15 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         gn = len(state.vid)
 
         def run_sweep(st_dict, refine_flag, E_cur, direction=0):
+            # the in-task sweep sees ~1/P of the graph, so its share of the
+            # global gain budget is E/P — a task that compares its local
+            # gain sum to the GLOBAL E quits ~P× too early and pushes the
+            # convergence work into many more (expensive) coarse rounds
+            E_task = E_cur / max(num_partitions, 1)
             bc = sc.broadcast(st_dict)
             try:
                 out = part_edges.mapInPandas(
-                    lambda it: sweep_partition(it, bc.value, M, R, E_cur,
+                    lambda it: sweep_partition(it, bc.value, M, R, E_task,
                                                1 if refine_flag else local_iters,
                                                refine_flag, direction),
                     schema=_MOVES_SCHEMA,
@@ -353,21 +358,29 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             out = run_sweep(state.snapshot(bound), True, E)
             if len(out):
                 # sequential acceptance in ascending id order replicates the
-                # source-still-singleton check (inc/leiden.hxx:536-548)
+                # source-still-singleton check (inc/leiden.hxx:536-548);
+                # positions pre-resolved vectorized, loop on plain lists
                 out = out.sort_values("id")
-                ids = state.pos(out["id"].to_numpy(np.int64))
-                tgts = out["community_new"].to_numpy(np.int64)
-                vidpos = {int(v): i for i, v in enumerate(state.vid)}
+                ids = state.pos(out["id"].to_numpy(np.int64)).tolist()
+                tgt_ids = out["community_new"].to_numpy(np.int64)
+                tps = state.pos(tgt_ids).tolist()
+                tgts = tgt_ids.tolist()
+                dps = state.pos(state.comm[ids]).tolist()
+                ctot_l = state.ctot.tolist()
+                vtot_l = state.vtot.tolist()
+                comm_l = state.comm.tolist()
                 for k in range(len(ids)):
                     up = ids[k]
-                    d = int(state.comm[up])
-                    dp = vidpos[d]
-                    if state.ctot[dp] > state.vtot[up]:
+                    uv = vtot_l[up]
+                    dp = dps[k]
+                    if ctot_l[dp] > uv:
                         continue
-                    cp = vidpos[int(tgts[k])]
-                    state.ctot[dp] -= state.vtot[up]
-                    state.ctot[cp] += state.vtot[up]
-                    state.comm[up] = tgts[k]
+                    cp = tps[k]
+                    ctot_l[dp] -= uv
+                    ctot_l[cp] += uv
+                    comm_l[up] = tgts[k]
+                state.comm = np.asarray(comm_l, dtype=np.int64)
+                state.ctot = np.asarray(ctot_l, dtype=np.float64)
         t_ref = time.time() - t_ref0
 
         total_iters += max(move_iters, 1)

@@ -124,15 +124,40 @@ def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
     ever_moved = np.zeros(nu, dtype=bool)
     acc_gain = np.zeros(nu, dtype=np.float64)
 
-    for _ in range(max(max_local_iters, 1)):
+    # affected-vertex pruning (L6, inc/leiden.hxx:656,661-662): after the
+    # first local iteration only vertices with a moved neighbor (or that
+    # moved themselves) are rescanned — late iterations touch O(frontier)
+    # instead of O(partition edges)
+    active = np.ones(nu, dtype=bool)
+    moved_vpos_mask = np.zeros(nv, dtype=bool)
+
+    for it_no in range(max(max_local_iters, 1)):
         el = 0.0
         any_move = False
-        for b0 in range(0, nu, block):
-            b1 = min(b0 + block, nu)
-            r0, r1 = u_start[b0], u_start[b1]
-            ru = row_u[r0:r1]
-            rv = dstp[r0:r1]
-            rw = w[r0:r1]
+        if it_no > 0:
+            np.logical_and(active, False, out=active)
+            touched = moved_vpos_mask[dstp]          # row's dst moved last iter
+            active[row_u[touched]] = True
+            moved_vpos_mask[:] = False
+            if not active.any():
+                break
+        act_idx = np.flatnonzero(active)
+        for b0 in range(0, len(act_idx), block):
+            blk = act_idx[b0:b0 + block]
+            # ragged gather of the block's adjacency rows
+            lens = u_start[blk + 1] - u_start[blk]
+            tot = int(lens.sum())
+            if tot == 0:
+                continue
+            step = np.ones(tot, dtype=np.int64)
+            step[0] = u_start[blk[0]]
+            cs = np.cumsum(lens)[:-1]
+            if len(cs):
+                step[cs] = u_start[blk[1:]] - (u_start[blk[:-1]] + lens[:-1] - 1)
+            rows = np.cumsum(step)
+            ru = row_u[rows]
+            rv = dstp[rows]
+            rw = w[rows]
             rup = upos[ru]
             mask = rv != rup                    # skip self (inc/leiden.hxx:414)
             if refine:
@@ -156,10 +181,11 @@ def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
             g_up = upos[g_u]
             g_d = commp[g_up]
             # vdout: the tally of u's own community
-            vd = np.zeros(b1 - b0, dtype=np.float64)
+            g_ui = np.searchsorted(blk, g_u)        # dense index within block
+            vd = np.zeros(len(blk), dtype=np.float64)
             own = g_c == g_d
-            vd[g_u[own] - b0] = vcout[own]
-            vdout = vd[g_u - b0]
+            vd[g_ui[own]] = vcout[own]
+            vdout = vd[g_ui]
             uvt = vtot[g_up]
             gain = (vcout - vdout) / M - R * uvt * (uvt + ctot[g_c] - ctot[g_d]) / two_mm
             cand = (g_c != g_d) & (gain > 0.0)
@@ -181,32 +207,61 @@ def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
             last = np.flatnonzero(np.append(cu_s[1:] != cu_s[:-1], True))
             pick = idx[o2[last]]                # one winner per u, u ascending
             # sequential acceptance against LIVE ctot (the reference's
-            # immediate-apply, inc/leiden.hxx:588-597)
-            p_u = g_u[pick]
-            p_up = g_up[pick]
-            p_cp = g_c[pick]
-            p_vc = vcout[pick]
-            p_vd = vdout[pick]
-            for t in range(len(pick)):
-                up = p_up[t]
+            # immediate-apply, inc/leiden.hxx:588-597): block-start values
+            # pre-gathered vectorized; in-loop freshness via a sparse delta
+            # map of communities touched within the block (plain-Python
+            # scalars in the hot loop — ~10× numpy scalar indexing)
+            p_u = g_u[pick].tolist()
+            p_up = g_up[pick].tolist()
+            p_cp = g_c[pick].tolist()
+            p_dp = g_d[pick].tolist()
+            p_vc = vcout[pick].tolist()
+            p_vd = vdout[pick].tolist()
+            p_uv = vtot[g_up[pick]].tolist()
+            p_g0 = gain[pick].tolist()
+            ct_c0 = ctot[g_c[pick]].tolist()
+            ct_d0 = ctot[g_d[pick]].tolist()
+            delta: dict[int, float] = {}
+            mv_up: list[int] = []
+            mv_cp: list[int] = []
+            dget = delta.get
+            gains_l: list[float] = []
+            ks: list[int] = []
+            for t in range(len(p_u)):
+                dp = p_dp[t]
                 cp = p_cp[t]
-                dp = commp[up]
-                if cp == dp:
-                    continue
-                uv = vtot[up]
-                if refine and ctot[dp] > uv:
-                    continue
-                g = (p_vc[t] - p_vd[t]) / M - R * uv * (uv + ctot[cp] - ctot[dp]) / two_mm
-                if g <= 0.0:
-                    continue
-                ctot[dp] -= uv
-                ctot[cp] += uv
-                commp[up] = cp
-                k = p_u[t]
-                ever_moved[k] = True
-                acc_gain[k] += g
+                uv = p_uv[t]
+                if dp in delta or cp in delta:
+                    ctd = ct_d0[t] + dget(dp, 0.0)
+                    if refine and ctd > uv:
+                        continue
+                    g = (p_vc[t] - p_vd[t]) / M \
+                        - R * uv * (uv + ct_c0[t] + dget(cp, 0.0) - ctd) / two_mm
+                    if g <= 0.0:
+                        continue
+                else:
+                    if refine and ct_d0[t] > uv:
+                        continue
+                    g = p_g0[t]          # untouched communities → the
+                                          # vectorized gain is already live
+                delta[dp] = dget(dp, 0.0) - uv
+                delta[cp] = dget(cp, 0.0) + uv
+                mv_up.append(p_up[t])
+                mv_cp.append(cp)
+                ks.append(p_u[t])
+                gains_l.append(g)
                 el += g
                 any_move = True
+            if mv_up:
+                mv_up_a = np.asarray(mv_up, dtype=np.int64)
+                commp[mv_up_a] = np.asarray(mv_cp, dtype=np.int64)
+                moved_vpos_mask[mv_up_a] = True
+                ks_a = np.asarray(ks, dtype=np.int64)
+                ever_moved[ks_a] = True
+                np.add.at(acc_gain, ks_a, np.asarray(gains_l, dtype=np.float64))
+                dk = np.fromiter(delta.keys(), dtype=np.int64, count=len(delta))
+                dv = np.fromiter(delta.values(), dtype=np.float64, count=len(delta))
+                np.add.at(ctot, dk, dv)
         if refine or not any_move or el <= E:
             break
 
