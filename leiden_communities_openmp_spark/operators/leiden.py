@@ -211,7 +211,8 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                  refine: bool = True, checkpointer=None, verbose: bool = False,
                  num_partitions: int = 32, local_iters: int = 20,
                  driver_threshold: int = 50000,
-                 driver_vertex_threshold: int = 20000) -> LeidenRunResult:
+                 driver_vertex_threshold: int = 20000,
+                 frontier_threshold: float = 0.0) -> LeidenRunResult:
     """Distributed Leiden (``refine=True``) / Louvain (``refine=False``).
 
     ``edges`` must be symmetric and deduplicated (sources/edges.py).
@@ -296,18 +297,23 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             break
 
         # ---- distributed pass (sweep strategy) ----
+        t_ph = time.time()
         vt = (
             g.groupBy("src")
             .agg(F.sum("w").alias("vtot"), F.count(F.lit(1)).alias("deg"))
             .toPandas().sort_values("src")
         )
+        t_vt = time.time() - t_ph
         state = DriverState(vt["src"].to_numpy(np.int64), vt["vtot"].to_numpy())
+        t_ph = time.time()
         part_edges = _range_partition_edges(
             spark, g, state.vid, vt["deg"].to_numpy(np.float64), num_partitions
         ).persist()
+        part_edges.count()                     # materialize the pass shuffle
+        t_part = time.time() - t_ph
         gn = len(state.vid)
 
-        def run_sweep(st_dict, refine_flag, E_cur, direction=0):
+        def run_sweep(st_dict, refine_flag, E_cur, direction=0, feed=None):
             # the in-task sweep sees ~1/P of the graph, so its share of the
             # global gain budget is E/P — a task that compares its local
             # gain sum to the GLOBAL E quits ~P× too early and pushes the
@@ -315,7 +321,7 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             E_task = E_cur / max(num_partitions, 1)
             bc = sc.broadcast(st_dict)
             try:
-                out = part_edges.mapInPandas(
+                out = (feed if feed is not None else part_edges).mapInPandas(
                     lambda it: sweep_partition(it, bc.value, M, R, E_task,
                                                1 if refine_flag else local_iters,
                                                refine_flag, direction),
@@ -325,27 +331,72 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                 bc.destroy()
             return out
 
+        def frontier_feed(mover_ids):
+            """JVM-side frontier cut for aff-seeded rounds: ship through
+            Arrow only the full adjacency of vertices with a moved
+            neighbor. Broadcast semi-joins are map-side filters, so the
+            range-bucket partitioning and (src,dst) order are preserved —
+            the sweep task contract is unchanged, just on O(frontier)
+            rows. At 100 TB this is what makes late rounds ~free."""
+            import pandas as pd
+            mv = spark.createDataFrame(
+                pd.DataFrame({"dst": np.asarray(mover_ids, dtype="int64")}))
+            aff = (
+                part_edges.join(F.broadcast(mv), "dst", "left_semi")
+                .select("src").distinct()
+            )
+            return part_edges.join(F.broadcast(aff), "src", "left_semi")
+
         move_iters = 0
         t_move0 = time.time()
         el_prev = float("inf")
+        round_log: list[dict] = []
+        changed_pos = None            # previous round's movers → aff seed
+        prev_sigs: list[tuple] = []   # limit-cycle detection (period ≤ 2)
         for rnd in range(o.max_iterations):
             # alternate move direction across coarse rounds to break
             # cross-partition swap cycles (see sweep_partition docstring);
             # a single partition has no stale state and sweeps freely
             direction = 0 if num_partitions <= 1 else (-1 if rnd % 2 == 0 else 1)
-            out = run_sweep(state.snapshot(), False, E, direction)
+            t_rnd = time.time()
+            snap = state.snapshot()
+            feed = None
+            if changed_pos is not None and len(changed_pos):
+                snap["changed_pos"] = changed_pos
+                # JVM-side frontier cut only below the threshold fraction:
+                # in local mode the full Arrow feed of a cached table beats
+                # the semi-join machinery, so this defaults off (0.0); on a
+                # real cluster with larger tables-per-core it pays
+                if len(changed_pos) < frontier_threshold * gn:
+                    feed = frontier_feed(state.vid[changed_pos])
+            out = run_sweep(snap, False, E, direction, feed=feed)
             move_iters += 1
             if len(out):
                 pos = state.pos(out["id"].to_numpy(np.int64))
                 state.comm[pos] = out["community_new"].to_numpy(np.int64)
                 state.recompute_ctot()
+                # aff-seed the next round only when the frontier is small:
+                # a big mover set needs a full re-equilibration round (frontier
+                # waves otherwise keep el hovering at the tolerance), while a
+                # small one makes the next round O(frontier) — the 100 TB tail
+                changed_pos = pos if len(out) < 0.02 * gn else None
+            else:
+                changed_pos = np.empty(0, dtype=np.int64)
             el = float(out["gain"].sum()) if len(out) else 0.0
+            round_log.append({"seconds": round(time.time() - t_rnd, 2),
+                              "movers": int(len(out)), "el": round(el, 6)})
             # a direction-constrained round sees only half the move space, so
             # convergence needs two consecutive below-tolerance rounds; a
             # tiny-churn stop bounds synchronous label noise that never
-            # crosses E (the async reference has no such noise floor)
+            # crosses E (the async reference has no such noise floor); a
+            # repeated (movers, gain, id-sum) signature means a period-≤2
+            # limit cycle that will never descend below E — stop
+            sig = (len(out), round(el, 10),
+                   int(out["id"].sum()) if len(out) else 0)
+            cycle = sig in prev_sigs
+            prev_sigs = (prev_sigs + [sig])[-2:]
             tiny = len(out) <= max(8, gn // 2000)
-            if len(out) == 0 or tiny or (el <= E and (direction == 0 or el_prev <= E)):
+            if len(out) == 0 or tiny or cycle or (el <= E and (direction == 0 or el_prev <= E)):
                 break
             el_prev = el
         t_move = time.time() - t_move0
@@ -390,6 +441,9 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                         "vertices": gn, "communities": cn, "edges": int(n_edges),
                         "tolerance": E, "move_seconds": round(t_move, 3),
                         "refine_seconds": round(t_ref, 3),
+                        "vt_seconds": round(t_vt, 3),
+                        "partition_seconds": round(t_part, 3),
+                        "rounds": round_log,
                         "pass_seconds": round(time.time() - t0, 3)})
         if verbose:
             print(f"[leiden_scale] pass={p} sweep iters={move_iters} GN={gn} CN={cn} "

@@ -127,9 +127,18 @@ def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
     # affected-vertex pruning (L6, inc/leiden.hxx:656,661-662): after the
     # first local iteration only vertices with a moved neighbor (or that
     # moved themselves) are rescanned — late iterations touch O(frontier)
-    # instead of O(partition edges)
-    active = np.ones(nu, dtype=bool)
+    # instead of O(partition edges). ``changed_pos`` in the broadcast state
+    # seeds the FIRST iteration the same way from the previous coarse
+    # round's global movers, so later rounds are O(frontier) end to end.
     moved_vpos_mask = np.zeros(nv, dtype=bool)
+    seed = state.get("changed_pos") if not refine else None
+    if seed is not None:
+        active = np.zeros(nu, dtype=bool)
+        moved_vpos_mask[seed] = True
+        active[row_u[moved_vpos_mask[dstp]]] = True
+        moved_vpos_mask[:] = False
+    else:
+        active = np.ones(nu, dtype=bool)
 
     for it_no in range(max(max_local_iters, 1)):
         el = 0.0
@@ -139,8 +148,8 @@ def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
             touched = moved_vpos_mask[dstp]          # row's dst moved last iter
             active[row_u[touched]] = True
             moved_vpos_mask[:] = False
-            if not active.any():
-                break
+        if not active.any():
+            break
         act_idx = np.flatnonzero(active)
         for b0 in range(0, len(act_idx), block):
             blk = act_idx[b0:b0 + block]
