@@ -76,26 +76,38 @@ def _partition_labels(spark: SparkSession, p: int) -> list[int]:
     return _PART_LABELS[p]
 
 
-def _range_partition_edges(spark: SparkSession, g: DataFrame, vid, weight, p: int) -> DataFrame:
+def _range_partition_edges(spark: SparkSession, g: DataFrame, vid, weight, p: int,
+                           narrow: bool = True) -> DataFrame:
     """CSR-style adjacency partitions: contiguous vertex-id ranges with
     ~equal total degree per partition. Web link graphs (and every renumbered
     super-graph) have strong id locality, so range placement keeps most of a
     vertex's neighborhood partition-local — the partition sweep then runs
     fresh Gauss-Seidel instead of damped stale rounds. Boundaries come from
-    the driver's exact degree-cumsum percentiles (deterministic)."""
-    import numpy as np
-    import pandas as pd
+    the driver's exact degree-cumsum percentiles (deterministic), applied as
+    a pure column expression (a P-way CASE over the cut ids — no join).
 
+    ``narrow``: ship (src,dst) as int32 and w as float32 through the
+    Arrow feed when ids fit — halves the per-round executor transfer. The
+    float32 edge weight matches the reference's TYPE=float input width
+    (main.cxx:16-19); all accumulation stays float64 in the kernel."""
+    import numpy as np
+
+    vid = np.asarray(vid, dtype=np.int64)
     cum = np.cumsum(weight)
     total = float(cum[-1]) if len(cum) else 0.0
     targets = np.linspace(0, total, p + 1)[1:-1]
-    bounds = np.searchsorted(cum, targets)          # vid index upper bounds
-    bucket = np.searchsorted(bounds, np.arange(len(vid)), side="right")
-    labels = np.asarray(_partition_labels(spark, p), dtype=np.int64)
-    part_df = spark.createDataFrame(pd.DataFrame({
-        "src": np.asarray(vid, dtype=np.int64), "_part": labels[bucket]}))
+    bounds_idx = np.searchsorted(cum, targets)       # vid index upper bounds
+    cuts = vid[np.minimum(bounds_idx, max(len(vid) - 1, 0))] if len(vid) else []
+    labels = _partition_labels(spark, p)
+    expr = F.lit(labels[p - 1])
+    for i in range(p - 2, -1, -1):                   # src < cuts[i] → bucket i
+        expr = F.when(F.col("src") < int(cuts[i]), F.lit(labels[i])).otherwise(expr)
+    cols = [F.col("src"), F.col("dst"), F.col("w")]
+    if narrow and len(vid) and int(vid[-1]) < 2**31 - 1:
+        cols = [F.col("src").cast("int"), F.col("dst").cast("int"),
+                F.col("w").cast("float")]
     return (
-        g.join(F.broadcast(part_df), "src")
+        g.select(*cols, expr.alias("_part"))
         .repartition(p, "_part").drop("_part")
         .sortWithinPartitions("src", "dst")
     )
@@ -250,6 +262,7 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                 print(f"[leiden_scale] resumed at pass={p}")
 
     n_vertices: int | None = None
+    carried: tuple | None = None        # (vid, vtot) for passes ≥ 2
     if checkpointer is not None and p > 0:
         # restore the strategy-selection state so a resumed run takes the
         # same execution path (and thus produces identical labels)
@@ -298,16 +311,27 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
 
         # ---- distributed pass (sweep strategy) ----
         t_ph = time.time()
-        vt = (
-            g.groupBy("src")
-            .agg(F.sum("w").alias("vtot"), F.count(F.lit(1)).alias("deg"))
-            .toPandas().sort_values("src")
-        )
+        if carried is None:
+            # A2 from the edge table (first pass / resume)
+            vt = (
+                g.groupBy("src")
+                .agg(F.sum("w").alias("vtot"), F.count(F.lit(1)).alias("deg"))
+                .toPandas().sort_values("src")
+            )
+            vid_arr = vt["src"].to_numpy(np.int64)
+            vtot_arr = vt["vtot"].to_numpy()
+            bal = vt["deg"].to_numpy(np.float64)
+        else:
+            # passes ≥ 2: the super-vertex weight IS the previous pass's
+            # community weight (Σ member vtot, self-loops included) — the
+            # driver already holds it, no Spark job needed
+            vid_arr, vtot_arr = carried
+            bal = vtot_arr
         t_vt = time.time() - t_ph
-        state = DriverState(vt["src"].to_numpy(np.int64), vt["vtot"].to_numpy())
+        state = DriverState(vid_arr, vtot_arr)
         t_ph = time.time()
         part_edges = _range_partition_edges(
-            spark, g, state.vid, vt["deg"].to_numpy(np.float64), num_partitions
+            spark, g, state.vid, bal, num_partitions
         ).persist()
         part_edges.count()                     # materialize the pass shuffle
         t_part = time.time() - t_ph
@@ -456,6 +480,9 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         memb_df = spark.createDataFrame(pd.DataFrame(
             {"id": state.vid.astype("int64"), "community": dense.astype("int64")}))
         n_vertices = int(uniq.size)  # next pass's vertex count
+        # next pass's dense vertex universe + carried vertex weights
+        carried = (np.arange(uniq.size, dtype=np.int64),
+                   state.ctot[state.pos(uniq)].copy())
         ucom = _materialize(memb_df if ucom is None else _compose(ucom, memb_df))
 
         stop = move_iters <= 1 or p >= o.max_passes or float(cn) / gn >= o.aggregation_tolerance

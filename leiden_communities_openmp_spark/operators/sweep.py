@@ -66,6 +66,36 @@ class DriverState:
         return int(np.unique(self.comm).size)
 
 
+def _run_c_sweep(ck, nu, nv, u_start, dstp, w, upos, commp, vtot, ctot,
+                 bound, is_local, max_iters, refine, direction, M, R, E,
+                 active, moved_mask, ever_moved, acc_gain):
+    """Marshal numpy buffers into the compiled sweep (operators/_ckernel.py).
+    Mutates commp/ctot/active/ever_moved/acc_gain in place."""
+    def p(a):
+        return a.ctypes.data if a is not None else None
+
+    vcout = np.zeros(nv, dtype=np.float64)
+    tkeys = np.empty(nv, dtype=np.int64)
+    intouch = np.zeros(nv, dtype=np.uint8)
+    moved_list = np.empty(max(nu, 1), dtype=np.int64)
+    args = [u_start, dstp, w, upos, commp, vtot, ctot]
+    for i, a in enumerate(args):
+        if not a.flags["C_CONTIGUOUS"]:
+            args[i] = np.ascontiguousarray(a)
+    u_start, dstp, w, upos, commp_x, vtot, ctot_x = args
+    assert commp_x is commp and ctot_x is ctot, "in/out arrays must be contiguous"
+    bnd = None
+    if refine:
+        bnd = np.ascontiguousarray(np.asarray(bound, dtype=np.int64))
+    ck(nu, nv, p(u_start), p(dstp), p(w), p(upos),
+       p(commp), p(vtot), p(ctot), p(bnd), p(is_local),
+       int(max(max_iters, 1)), 1 if refine else 0, int(direction),
+       float(M), float(R), float(E),
+       p(vcout), p(tkeys), p(intouch),
+       p(active), p(moved_mask), p(moved_list),
+       p(ever_moved), p(acc_gain))
+
+
 def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
                     max_local_iters: int, refine: bool, direction: int = 0,
                     block: int = 8192):
@@ -139,6 +169,21 @@ def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
         moved_vpos_mask[:] = False
     else:
         active = np.ones(nu, dtype=bool)
+
+    from ._ckernel import get_kernel
+    ck = get_kernel()
+    if ck is not None:
+        commp0 = commp.copy()
+        _run_c_sweep(ck, nu, nv, u_start, dstp, w, upos, commp, vtot, ctot,
+                     bound, is_local, max_local_iters, refine, direction, M, R, E,
+                     active, moved_vpos_mask, ever_moved, acc_gain)
+        mk = np.flatnonzero(ever_moved & (commp[upos] != commp0[upos]))
+        yield pd.DataFrame({
+            "id": pd.Series(u_ids[mk], dtype="int64"),
+            "community_new": pd.Series(vid[commp[upos[mk]]], dtype="int64"),
+            "gain": pd.Series(acc_gain[mk], dtype="float64"),
+        })
+        return
 
     for it_no in range(max(max_local_iters, 1)):
         el = 0.0
