@@ -160,11 +160,24 @@ def modularity_df(edges: DataFrame, memb: DataFrame, M: float, resolution: float
     return float(row["q"] or 0.0)
 
 
-def _compose(outer: DataFrame, inner: DataFrame) -> DataFrame:
+_BROADCAST_VERTEX_LIMIT = 2_000_000   # rows; above this a per-task hash
+                                      # build costs more than a shuffle join
+
+
+def _maybe_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
+    """Broadcast-hint small relabel maps; past the limit let AQE plan the
+    join (sort-merge / shuffled-hash with skew handling)."""
+    if n_rows is not None and n_rows <= _BROADCAST_VERTEX_LIMIT:
+        return F.broadcast(df)
+    return df
+
+
+def _compose(outer: DataFrame, inner: DataFrame, n_inner: int | None = None) -> DataFrame:
     """Dendrogram flattening R3 (inc/leiden.hxx:898-904):
-    outer.community := inner[outer.community]. ``inner`` is small (one row
-    per super-vertex) → broadcast join."""
-    m = F.broadcast(inner.select(F.col("id").alias("community"), F.col("community").alias("cnew")))
+    outer.community := inner[outer.community]."""
+    m = _maybe_broadcast(
+        inner.select(F.col("id").alias("community"), F.col("community").alias("cnew")),
+        n_inner)
     return outer.join(m, "community").select("id", F.col("cnew").alias("community"))
 
 
@@ -238,9 +251,12 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
     R = o.resolution
     metrics: list[dict] = []
 
-    edges0 = _materialize(edges.select(
-        F.col("src").cast("long"), F.col("dst").cast("long"), F.col("w").cast("double")))
+    t_setup = time.time()
+    edges0 = edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"),
+        F.col("w").cast("double")).persist()
     M = float(edges0.agg(F.sum("w")).collect()[0][0] or 0.0) / 2.0  # A1 (main.cxx:61)
+    metrics.append({"phase": "setup", "seconds": round(time.time() - t_setup, 3)})
     if M <= 0:
         empty = spark.createDataFrame([], "id long, community long")
         return LeidenRunResult(empty, 0.0, 0, 0, 0.0, [])
@@ -297,7 +313,7 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                 max_passes=max(o.max_passes - p, 1)), refine=refine)
             memb_rows = [(int(vid[i]), int(sub.membership[i])) for i in range(len(vid))]
             memb_df = spark.createDataFrame(memb_rows, "id long, community long")
-            ucom = _materialize(memb_df if ucom is None else _compose(ucom, memb_df))
+            ucom = _materialize(memb_df if ucom is None else _compose(ucom, memb_df, len(memb_rows)))
             total_iters += sub.iterations
             p += sub.passes
             metrics.append({"pass": p, "strategy": "driver-kernel",
@@ -426,11 +442,13 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         t_move = time.time() - t_move0
 
         t_ref0 = time.time()
+        t_ref_job = t_ref_apply = 0.0
         if refine:
             bound = state.comm.copy()
             state.comm = state.vid.copy()          # singleton re-init
             state.ctot = state.vtot.copy()
             out = run_sweep(state.snapshot(bound), True, E)
+            t_ref_job = time.time() - t_ref0
             if len(out):
                 # sequential acceptance in ascending id order replicates the
                 # source-still-singleton check (inc/leiden.hxx:536-548);
@@ -456,24 +474,29 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                     comm_l[up] = tgts[k]
                 state.comm = np.asarray(comm_l, dtype=np.int64)
                 state.ctot = np.asarray(ctot_l, dtype=np.float64)
+            t_ref_apply = time.time() - t_ref0 - t_ref_job
         t_ref = time.time() - t_ref0
 
         total_iters += max(move_iters, 1)
         p += 1
         cn = state.n_communities()
-        metrics.append({"pass": p, "strategy": "sweep", "move_iterations": move_iters,
-                        "vertices": gn, "communities": cn, "edges": int(n_edges),
-                        "tolerance": E, "move_seconds": round(t_move, 3),
-                        "refine_seconds": round(t_ref, 3),
-                        "vt_seconds": round(t_vt, 3),
-                        "partition_seconds": round(t_part, 3),
-                        "rounds": round_log,
-                        "pass_seconds": round(time.time() - t0, 3)})
+        rec = {"pass": p, "strategy": "sweep", "move_iterations": move_iters,
+               "vertices": gn, "communities": cn, "edges": int(n_edges),
+               "tolerance": E, "move_seconds": round(t_move, 3),
+               "refine_seconds": round(t_ref, 3),
+               "refine_job_seconds": round(t_ref_job, 3),
+               "refine_apply_seconds": round(t_ref_apply, 3),
+               "vt_seconds": round(t_vt, 3),
+               "partition_seconds": round(t_part, 3),
+               "rounds": round_log,
+               "pass_seconds": round(time.time() - t0, 3)}
+        metrics.append(rec)
         if verbose:
             print(f"[leiden_scale] pass={p} sweep iters={move_iters} GN={gn} CN={cn} "
                   f"E={E:g} (move={t_move:.1f}s refine={t_ref:.1f}s total={time.time() - t0:.1f}s)")
 
         # renumber dense, order-preserving (R2)
+        t_ren = time.time()
         uniq = np.unique(state.comm)
         dense = np.searchsorted(uniq, state.comm)
         import pandas as pd
@@ -483,7 +506,8 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         # next pass's dense vertex universe + carried vertex weights
         carried = (np.arange(uniq.size, dtype=np.int64),
                    state.ctot[state.pos(uniq)].copy())
-        ucom = _materialize(memb_df if ucom is None else _compose(ucom, memb_df))
+        ucom = _materialize(memb_df if ucom is None else _compose(ucom, memb_df, gn))
+        rec["renumber_seconds"] = round(time.time() - t_ren, 3)
 
         stop = move_iters <= 1 or p >= o.max_passes or float(cn) / gn >= o.aggregation_tolerance
         if stop:
@@ -491,19 +515,26 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             break
 
         # aggregate (A9): relabel both endpoints, sum — self-loops kept
-        ms = F.broadcast(memb_df.select(F.col("id").alias("src"), F.col("community").alias("cs")))
-        md = F.broadcast(memb_df.select(F.col("id").alias("dst"), F.col("community").alias("cd")))
+        t_agg = time.time()
+        ms = _maybe_broadcast(
+            memb_df.select(F.col("id").alias("src"), F.col("community").alias("cs")), gn)
+        md = _maybe_broadcast(
+            memb_df.select(F.col("id").alias("dst"), F.col("community").alias("cd")), gn)
         g = _materialize(
             part_edges.join(ms, "src").join(md, "dst")
             .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
             .agg(F.sum("w").alias("w"))
         )
         part_edges.unpersist()
+        rec["aggregate_seconds"] = round(time.time() - t_agg, 3)
         E /= o.tolerance_drop
         if checkpointer is not None:
             checkpointer.save(p, ucom, g, E, total_iters, metrics)
 
+    t_q = time.time()
     q = modularity_df(edges0, ucom, M, R)
+    metrics.append({"phase": "final_modularity", "seconds": round(time.time() - t_q, 3)})
+    edges0.unpersist()
     return LeidenRunResult(ucom, q, p, total_iters, M, metrics)
 
 

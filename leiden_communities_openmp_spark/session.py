@@ -27,9 +27,20 @@ def get_spark(app_name: str = "leiden-spark", cpus: int | None = None,
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "131072")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Spark 4.1's Arrow batch writer enforces maxBytesPerBatch by
+        # calling ArrowWriter.sizeInBytes() PER ROW (a full buffer-size
+        # walk: BatchedPythonArrowInput.underBatchSizeLimit) — ~8.5 µs/row
+        # of pure overhead that serialises every mapInPandas feed at
+        # ~3.5M rows/s regardless of cores. Int.MaxValue is special-cased
+        # to skip the walk; batch size is then bounded by records only
+        # (65536 rows ≈ 1-2 MB for edge tuples, ≈ 64 MB for ~1 KB html
+        # rows — still executor-safe).
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", "2147483647")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # local mode: driver heap IS the executor heap — size it for the
+        # cached edge partitions + shuffle buffers, not the 1g default
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

@@ -31,13 +31,18 @@ _WS_RE = r"\s+"
 _HREF_RE = r'<a\s+href="([^"]+)"'
 
 
+def _decode(html: pd.Series) -> pd.Series:
+    """bytes → str, vectorized (no per-row Python lambda)."""
+    return html.str.decode("utf-8", errors="replace").fillna("")
+
+
 @pandas_udf(StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
     """html (binary) → visible text: anchor elements removed entirely,
     remaining tags stripped, whitespace collapsed, ends trimmed. The
     per-url byte-identity invariant is pinned by tests against the
     fixture generator's expected text."""
-    s = html.apply(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
+    s = _decode(html)
     s = s.str.replace(_ANCHOR_RE, " ", regex=True)
     s = s.str.replace(_TAG_RE, " ", regex=True)
     s = s.str.replace(_WS_RE, " ", regex=True)
@@ -47,8 +52,7 @@ def extract_text_udf(html: pd.Series) -> pd.Series:
 @pandas_udf(ArrayType(StringType()))
 def extract_outlinks_udf(html: pd.Series) -> pd.Series:
     """html (binary) → list of href targets in document order."""
-    s = html.apply(lambda b: b.decode("utf-8", errors="replace") if b is not None else "")
-    return s.str.findall(_HREF_RE)
+    return _decode(html).str.findall(_HREF_RE)
 
 
 def extract(pages: DataFrame) -> DataFrame:
@@ -58,16 +62,36 @@ def extract(pages: DataFrame) -> DataFrame:
     )
 
 
-def url_ids(pages: DataFrame) -> DataFrame:
+def url_ids(pages: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """(url, id): dense 0-based rank over sorted distinct urls.
 
     Deterministic and reproducible — the id of a url depends only on the
-    url set, never on partitioning or parallelism. The global sort is one
-    shuffle over the (comparatively small) url column only.
+    url set, never on partitioning or parallelism — and fully distributed:
+    a range shuffle sorts urls, per-partition row_number ranks locally, and
+    the (tiny) per-partition counts become rank offsets via a driver-side
+    cumulative sum. (A bare ``row_number().over(orderBy(url))`` window has
+    an empty PARTITION BY, which Spark executes as ONE task — the classic
+    global-rank scaling trap.)
     """
-    return (
+    p = num_partitions or pages.sparkSession.sparkContext.defaultParallelism
+    ranked = (
         pages.select("url").distinct()
-        .withColumn("id", F.dense_rank().over(Window.orderBy("url")) - 1)
+        .repartitionByRange(p, "url")
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_rn", F.row_number().over(
+            Window.partitionBy("_pid").orderBy("url")))
+    ).localCheckpoint(eager=True)
+    counts = {int(r["_pid"]): int(r["n"]) for r in
+              ranked.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = F.broadcast(pages.sparkSession.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "_pid int, _off long"))
+    return (
+        ranked.join(off_df, "_pid")
+        .select("url", (F.col("_off") + F.col("_rn") - 1).alias("id"))
     )
 
 

@@ -40,6 +40,10 @@ if job == "leiden":
     e = symmetricize_df(planted_hard(spark, size))
     e = e.localCheckpoint(eager=True)
     n_edges = e.count()
+    # warm the python workers (fork + pandas import = cluster startup, not
+    # throughput; paying it inside the timed window would skew the small
+    # cluster's denominator and overstate efficiency)
+    spark.range(100000).repartition(64).mapInPandas(lambda it: it, "id long").count()
     t0 = time.time()
     res = leiden_scale(spark, e, LeidenOptions(), num_partitions=64, local_iters=10)
     dt = time.time() - t0
