@@ -17,10 +17,13 @@ the *pass-level contract* of the reference pipeline
 Three move-phase execution strategies, chosen per pass:
 
 1. ``sweep`` (default while the graph is big): partitioned Gauss-Seidel —
-   edges hash-partitioned by src (each vertex's adjacency co-located), one
-   ``mapInPandas`` job per coarse round sweeping every partition against a
-   broadcast state snapshot (operators/sweep.py). The Spark analogue of the
-   reference's per-thread async loop (inc/leiden.hxx:646-668).
+   edges range-partitioned into contiguous degree-balanced vertex-id blocks
+   (CSR-style adjacency partitions; web link graphs and every renumbered
+   super-graph have id locality, so most neighborhoods are partition-local),
+   one ``mapInPandas`` job per coarse round sweeping every partition against
+   a broadcast state snapshot (operators/sweep.py, C-accelerated hot loop in
+   operators/_ckernel.py). The Spark analogue of the reference's per-thread
+   async loop (inc/leiden.hxx:646-668).
 2. ``rounds``: pure-DataFrame bulk-synchronous rounds (A4 join-agg + argmax
    via max_by). Unbounded state (no broadcast), one shuffle chain per round;
    the fallback beyond ~10^9 vertices, and the reference plan for the
@@ -31,10 +34,13 @@ Three move-phase execution strategies, chosen per pass:
    packed CSR after pass 1 (inc/leiden.hxx:1249-1250).
 
 Physical design per sweep round: the only big relation (edges) is shuffled
-ONCE per pass (repartition by src, then reused persisted); each round ships
-O(|V|) broadcast state out and O(movers) rows back. Hub skew is immaterial
-to the shuffle (hash by src spreads adjacency rows) and the in-task sweep is
-linear in partition edges.
+ONCE per pass (range repartition, then reused persisted, int32/float32
+transport when ids fit); each round ships O(|V|) broadcast state out and
+O(net movers) rows back, with rounds after a small frontier aff-seeded so
+the in-task work is O(frontier). Per-pass driver state (vtot) is carried
+from the previous pass's community weights instead of recomputed. Degree
+skew is handled by degree-balanced range cuts; giant-community aggregation
+skew by AQE (the groupBy(cs,cd) shuffle).
 """
 
 from __future__ import annotations
