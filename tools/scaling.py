@@ -106,14 +106,46 @@ def run_best(job: str, cpus: int, size: int, reps: int) -> dict:
     return best
 
 
+def hardware_ceiling(n_lo: int, n_hi: int) -> dict:
+    """Max achievable N→4N efficiency on this box, measured with a pure-CPU
+    multiprocessing burn (no Spark, no memory pressure). The sandbox VM's
+    effective per-core speed drops as more vCPUs go active (host frequency /
+    oversubscription), so even embarrassingly-parallel code cannot reach
+    eff 1.0 — report the ceiling next to the job's efficiency."""
+    import math
+    import multiprocessing as mp
+    import time
+
+    def burn(n):
+        s = 0.0
+        for i in range(n):
+            s += math.sqrt(i) * 1.0000001
+        return s
+
+    def measure(procs, work=6_000_000):
+        with mp.Pool(procs) as pool:
+            t0 = time.time()
+            pool.map(burn, [work] * procs * 2)
+            return procs * 2 * work / (time.time() - t0)
+
+    best = 0.0
+    for _ in range(3):
+        r_lo, r_hi = measure(n_lo), measure(n_hi)
+        best = max(best, (r_hi / r_lo) / (n_hi / n_lo))
+    return {"cpus": [n_lo, n_hi], "max_efficiency": round(best, 3)}
+
+
 def main():
     n_vertices = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_rep = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    report = {}
+    import os
+    cpu_lo, cpu_hi = (int(x) for x in os.environ.get(
+        "SPARK_GRAFT_SCALING_CPUS", "2,8").split(","))
+    report = {"hardware_ceiling": hardware_ceiling(cpu_lo, cpu_hi)}
 
-    l8 = run_best("leiden", 8, n_vertices, reps)
-    l32 = run_best("leiden", 32, n_vertices, reps)
+    l8 = run_best("leiden", cpu_lo, n_vertices, reps)
+    l32 = run_best("leiden", cpu_hi, n_vertices, reps)
     assert l8["labels_md5"] == l32["labels_md5"], "parallelism changed the result!"
     for leg in (l8, l32):
         leg["edges_per_sec_end2end"] = round(leg["edges"] * leg["passes"] / leg["seconds"])
@@ -121,20 +153,20 @@ def main():
             round(leg["edges"] * leg["sweep_passes"] / leg["move_seconds"])
             if leg["move_seconds"] else None)
     report["leiden"] = {
-        "local8": l8, "local32": l32, "identical_labels": True,
-        "eff_end2end": round((l32["edges_per_sec_end2end"] / l8["edges_per_sec_end2end"]) / 4, 3),
+        f"local{cpu_lo}": l8, f"local{cpu_hi}": l32, "identical_labels": True,
+        "eff_end2end": round((l32["edges_per_sec_end2end"] / l8["edges_per_sec_end2end"]) / (cpu_hi / cpu_lo), 3),
         "eff_move_phase": round(
-            (l32["edges_per_sec_per_superstep"] / l8["edges_per_sec_per_superstep"]) / 4, 3)
+            (l32["edges_per_sec_per_superstep"] / l8["edges_per_sec_per_superstep"]) / (cpu_hi / cpu_lo), 3)
         if l8.get("edges_per_sec_per_superstep") and l32.get("edges_per_sec_per_superstep") else None,
     }
 
-    i8 = run_best("minhash", 8, n_rep, reps)
-    i32 = run_best("minhash", 32, n_rep, reps)
+    i8 = run_best("minhash", cpu_lo, n_rep, reps)
+    i32 = run_best("minhash", cpu_hi, n_rep, reps)
     for leg in (i8, i32):
         leg["docs_per_sec"] = round(leg["docs"] / leg["seconds"])
     report["minhash"] = {
-        "local8": i8, "local32": i32,
-        "eff": round((i32["docs_per_sec"] / i8["docs_per_sec"]) / 4, 3),
+        f"local{cpu_lo}": i8, f"local{cpu_hi}": i32,
+        "eff": round((i32["docs_per_sec"] / i8["docs_per_sec"]) / (cpu_hi / cpu_lo), 3),
     }
 
     print(json.dumps(report, indent=1))
