@@ -106,31 +106,32 @@ def run_best(job: str, cpus: int, size: int, reps: int) -> dict:
     return best
 
 
+def _burn(n):
+    import math
+    s = 0.0
+    for i in range(n):
+        s += math.sqrt(i) * 1.0000001
+    return s
+
+
+def _measure_procs(procs, work=6_000_000):
+    import multiprocessing as mp
+    import time
+    with mp.Pool(procs) as pool:
+        t0 = time.time()
+        pool.map(_burn, [work] * procs * 2)
+        return procs * 2 * work / (time.time() - t0)
+
+
 def hardware_ceiling(n_lo: int, n_hi: int) -> dict:
     """Max achievable N→4N efficiency on this box, measured with a pure-CPU
     multiprocessing burn (no Spark, no memory pressure). The sandbox VM's
     effective per-core speed drops as more vCPUs go active (host frequency /
     oversubscription), so even embarrassingly-parallel code cannot reach
     eff 1.0 — report the ceiling next to the job's efficiency."""
-    import math
-    import multiprocessing as mp
-    import time
-
-    def burn(n):
-        s = 0.0
-        for i in range(n):
-            s += math.sqrt(i) * 1.0000001
-        return s
-
-    def measure(procs, work=6_000_000):
-        with mp.Pool(procs) as pool:
-            t0 = time.time()
-            pool.map(burn, [work] * procs * 2)
-            return procs * 2 * work / (time.time() - t0)
-
     best = 0.0
     for _ in range(3):
-        r_lo, r_hi = measure(n_lo), measure(n_hi)
+        r_lo, r_hi = _measure_procs(n_lo), _measure_procs(n_hi)
         best = max(best, (r_hi / r_lo) / (n_hi / n_lo))
     return {"cpus": [n_lo, n_hi], "max_efficiency": round(best, 3)}
 
