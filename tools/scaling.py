@@ -102,7 +102,8 @@ def run_best(job: str, cpus: int, size: int, reps: int) -> dict:
     best["reps_seconds"] = [r["seconds"] for r in runs]
     if job == "leiden":
         assert len({r["labels_md5"] for r in runs}) == 1, "nondeterministic run!"
-        best["move_seconds"] = min(r["move_seconds"] for r in runs)
+        # move_seconds stays the BEST RUN's value (taking an independent min
+        # across reps mixes runs and can fabricate superlinear phase ratios)
     return best
 
 
