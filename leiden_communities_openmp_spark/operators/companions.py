@@ -33,15 +33,23 @@ def pagerank(edges: DataFrame, iterations: int = 5, damping: float = 0.85) -> Da
 
     Scale design: ``ranks`` is the small relation (|V|), re-joined to the
     static ``edges``; contributions aggregate with map-side combine; AQE
-    splits hub-destination skew. Deterministic for a fixed iteration count.
+    splits hub-destination skew. The dangling-mass term is a one-row
+    aggregate folded into the same iteration DAG via a broadcast
+    nested-loop join — NO per-iteration driver collect, so each iteration
+    is exactly one action (the eager materialization); at 1000 executors
+    that removes a full |V|-scan job + driver round-trip per iteration.
+    Deterministic for a fixed iteration count.
     """
     verts = _materialize(_vertices(edges))
     n = verts.count()
-    outdeg = edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outdeg"))
+    outdeg = _materialize(
+        edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outdeg")))
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
         rd = ranks.join(outdeg, "id", "left")
-        dangling = rd.filter(F.col("outdeg").isNull()).agg(F.sum("rank")).collect()[0][0] or 0.0
+        # dangling mass as a 1-row relation inside the plan (not collected)
+        dang = rd.filter(F.col("outdeg").isNull()).agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
         contrib = (
             edges.join(rd.select(F.col("id").alias("src"), "rank", "outdeg"), "src")
             .groupBy(F.col("dst").alias("id"))
@@ -49,51 +57,107 @@ def pagerank(edges: DataFrame, iterations: int = 5, damping: float = 0.85) -> Da
         )
         ranks = _materialize(
             verts.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "id",
                 (
                     F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.col("_dm") / F.lit(float(n)))
                 ).alias("rank"),
             )
         )
     return ranks
 
 
-def connected_components(edges: DataFrame, max_iterations: int = 50) -> DataFrame:
-    """Min-label propagation to a fixed point → (id, component), where the
-    component label is the smallest member id (deterministic).
-
-    Round: label(v) = min(label(v), min over neighbors' labels). Converges
-    in graph-diameter rounds on a symmetric edge table; each round is one
-    join + one aggregation over the static edges. (The two-phase
-    large-star/small-star variant halves round counts on high-diameter
-    graphs; link graphs are short-diameter so the simple exchange wins.)
-    """
-    sym = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    sym = _materialize(sym)
-    labels = _vertices(edges).withColumn("component", F.col("id"))
-    labels = _materialize(labels)
-    for _ in range(max_iterations):
-        nbr_min = (
-            sym.join(labels.select(F.col("id").alias("dst"), "component"), "dst")
-            .groupBy(F.col("src").alias("id"))
-            .agg(F.min("component").alias("nbr"))
-        )
-        new_labels = _materialize(
-            labels.join(nbr_min, "id", "left")
-            .select("id", F.least(F.col("component"), F.coalesce(F.col("nbr"), F.col("component"))).alias("component"))
-        )
-        changed = (
-            new_labels.alias("n").join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component")).count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+def connected_components(edges: DataFrame, max_rounds: int = 60) -> DataFrame:
+    """Connected components → (id, component = smallest member id)."""
+    labels, _ = connected_components_with_stats(edges, max_rounds)
     return labels
+
+
+def _edge_sig(e: DataFrame):
+    """(count, checksum1, checksum2) of a distinct edge set in ONE
+    aggregation action — the convergence probe. Two independent modular
+    hash sums make a silent collision (set changed, all three equal)
+    astronomically unlikely; no second join+count job per round."""
+    c1, c2 = e.columns[:2]
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.sum(F.pmod(F.xxhash64(c1, c2), F.lit(2**40))).alias("h1"),
+        F.sum(F.pmod(F.xxhash64(c2, c1, F.lit(7)), F.lit(2**40))).alias("h2"),
+    ).collect()[0]
+    return (int(row["n"]), int(row["h1"] or 0), int(row["h2"] or 0))
+
+
+def connected_components_with_stats(edges: DataFrame, max_rounds: int = 60):
+    """Alternating large-star/small-star connected components → ((id,
+    component), rounds). O(log n) rounds on ANY diameter (road networks,
+    kmer graphs, paths) vs O(diameter) for naive min-label exchange — the
+    reference's own benchmark set includes europe_osm/asia_osm with
+    diameters in the thousands, where the naive exchange would run
+    thousands of shuffle rounds.
+
+    Invariant: the working edge set ``ee`` holds ordered pairs (u, v) with
+    u > v. large-star hooks every big neighbor of u to u's min neighbor;
+    small-star re-points all small neighbors (and u) at the min. At the
+    fixed point every edge is (member, component-min) — a star forest.
+    Convergence is detected from the SAME materialized result via a single
+    (count, checksum, checksum) aggregation, not a second join+count job.
+
+    Scale: each round = 2 shuffles (groupBy min + distinct) over a set that
+    only shrinks after the first rounds; AQE handles the star-root skew
+    (the component-min key concentrates, exactly what skew-join splitting
+    is for).
+    """
+    ee = _materialize(
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v"))
+        .distinct()
+    )
+    rounds = 0
+    prev_sig = _edge_sig(ee)
+    for _ in range(max_rounds):
+        # large-star: group neighborhoods over BOTH orientations; attach
+        # strictly-larger neighbors to m = min(N(u) ∪ {u})
+        nbrs = ee.select("u", "v").unionByName(
+            ee.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mm = nbrs.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            nbrs.join(mm, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: group by the big endpoint; re-point u and all its
+        # smaller neighbors at m = min of the group
+        sm = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(sm, "u")
+            .select(
+                F.array(
+                    F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                ).alias("pairs")
+            )
+            .select(F.explode("pairs").alias("p"))
+            .select(F.col("p.u").alias("u"), F.col("p.v").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        ee = _materialize(ss)
+        rounds += 1
+        sig = _edge_sig(ee)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    labels = (
+        _vertices(edges)
+        .join(ee.select(F.col("u").alias("id"), F.col("v").alias("root")), "id", "left")
+        .select("id", F.coalesce(F.col("root"), F.col("id")).alias("component"))
+    )
+    return labels, rounds
 
 
 def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:

@@ -50,6 +50,47 @@ def test_pagerank_matches_python(spark):
     assert math.isclose(sum(got.values()), 1.0, abs_tol=1e-9)
 
 
+def test_connected_components_path_log_rounds(spark):
+    """High-diameter fixture: a 256-vertex path (diameter 255). The
+    large-star/small-star alternation must finish in O(log n) rounds —
+    naive min-label exchange would need 255."""
+    from leiden_communities_openmp_spark.operators.companions import (
+        connected_components_with_stats,
+    )
+
+    n = 256
+    path = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"), F.lit(1.0).alias("w"))
+    labels, rounds = connected_components_with_stats(path)
+    got = {r["id"]: r["component"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 2 * math.ceil(math.log2(n)) + 2, rounds
+
+
+def test_pagerank_no_driver_collect_in_loop(spark, monkeypatch):
+    """The dangling-mass term is folded into the iteration DAG as a one-row
+    broadcast relation — pagerank must never round-trip through a driver
+    .collect() (the old implementation collected the dangling sum every
+    iteration: one extra full-|V| job per iteration)."""
+    from pyspark.sql import DataFrame
+
+    calls = {"n": 0}
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    g = block_circulant(spark, N, B).localCheckpoint(eager=True)
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    try:
+        ranks = pagerank(g, iterations=5)
+        assert calls["n"] == 0, f"pagerank collected {calls['n']}× on the driver"
+    finally:
+        monkeypatch.undo()
+    assert ranks.count() == N
+
+
 def test_triangles_match_python(spark):
     edges = _edges_py()
     und = set()
