@@ -55,30 +55,51 @@ def dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n: int = 3,
+                        max_df: int | None = 1000,
                         id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact word-n-gram Jaccard similarity for all pairs sharing >= 1
-    shingle → (a, b, jaccard) with a < b and jaccard >= threshold.
+    *discriminative* shingle → (a, b, jaccard) with a < b and
+    jaccard >= threshold.
 
-    Plan: shingle-set per doc → explode → self-join on shingle (inverted
-    index; pairs generated only within posting lists) → |A∩B| by count,
-    |A∪B| = |A|+|B|−|A∩B|. The explode/join is the only big shuffle and is
-    bounded by posting-list sizes, not |docs|².
+    Plan: shingle-set per doc → explode → inverted index → pair generation
+    within posting lists → |A∩B| by count, |A∪B| = |A|+|B|−|A∩B|.
+    ``max_df`` caps posting-list length: shingles with document frequency
+    > max_df (boilerplate shared by ~everyone) are dropped from the
+    CANDIDATE join only — without the cap one stop-shingle shared by 10⁶
+    docs makes 10¹² join rows before the groupBy. |A∩B| then undercounts
+    pairs whose ONLY shared shingles are hot, so the final Jaccard is
+    recomputed exactly on the surviving candidates from the full shingle
+    sets (array_intersect on the pair — each side's set already in the
+    row). Threshold semantics are preserved whenever near-dup pairs share
+    at least one sub-hot shingle — guaranteed for threshold-Jaccard pairs
+    unless every shared shingle has df > max_df (standard accepted miss
+    mode for inverted-index dedup; raise max_df to trade skew for recall).
     """
     sh = docs.select(
         F.col(id_col).alias("doc_id"),
         F.array_distinct(word_ngrams(text_col, n)).alias("shingles"),
     ).withColumn("n_sh", F.size("shingles")).filter(F.col("n_sh") > 0)
-    ex = sh.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
-    a = ex.select(F.col("doc_id").alias("a"), F.col("n_sh").alias("na"), "shingle")
-    b = ex.select(F.col("doc_id").alias("b"), F.col("n_sh").alias("nb"), "shingle")
-    inter = (
-        a.join(b, "shingle")
+    ex = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            ex.groupBy("shingle").agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df).select("shingle")
+        )
+        ex = ex.join(hot, "shingle", "left_anti")
+    cand = (
+        ex.select(F.col("doc_id").alias("a"), "shingle")
+        .join(ex.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
         .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b", "na", "nb")
-        .agg(F.count("*").alias("inter"))
+        .select("a", "b").distinct()
     )
+    sa = sh.select(F.col("doc_id").alias("a"), F.col("shingles").alias("sa"),
+                   F.col("n_sh").alias("na"))
+    sb = sh.select(F.col("doc_id").alias("b"), F.col("shingles").alias("sb"),
+                   F.col("n_sh").alias("nb"))
     return (
-        inter.withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        cand.join(sa, "a").join(sb, "b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")))
+        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 9).alias("jaccard"))
     )
@@ -177,12 +198,58 @@ def simhash(docs: DataFrame, bits: int = 64, id_col: str = "doc_id",
 
 def simhash_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Documents sharing an identical simhash code (Hamming distance 0
-    bucketing; band-rotated codes extend to distance > 0)."""
+    bucketing; simhash_near_pairs extends to distance > 0 via band
+    rotation)."""
     s = simhash(docs, 62, id_col, text_col)
     return (
         s.groupBy("simhash")
         .agg(F.count("*").alias("n"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
         .filter(F.col("n") >= 2)
+    )
+
+
+_SIMHASH_BITS = 62
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact Hamming-≤k simhash retrieval via band decomposition →
+    (a, b, hamming) with a < b.
+
+    Pigeonhole: split the 62-bit code into ``max_hamming + 1`` bands; two
+    codes within Hamming distance k agree EXACTLY on at least one band, so
+    bucketing by (band_index, band_value) and joining within buckets finds
+    every qualifying pair (no recall loss), then ``bit_count(xor)`` verifies
+    the true distance — all JVM-side integer arithmetic, no Python.
+
+    Scale: the band join is |docs| × (k+1) rows keyed by ~62/(k+1)-bit
+    buckets; degenerate buckets (billions of near-identical boilerplate
+    docs) concentrate — AQE skew-join splits them, and the distinct() on
+    pairs bounds re-verification.
+    """
+    bands = max_hamming + 1
+    width = _SIMHASH_BITS // bands + (1 if _SIMHASH_BITS % bands else 0)
+    s = simhash(docs, _SIMHASH_BITS, id_col, text_col)
+    banded = s.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.shiftrightunsigned(F.col("simhash"), bi * width)
+                .bitwiseAND(F.lit((1 << width) - 1)).alias("key"),
+            )
+            for bi in range(bands)
+        ])).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.key")
+    l = banded.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "band", "key")
+    r = banded.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "band", "key")
+    return (
+        l.join(r, ["band", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b",
+                F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

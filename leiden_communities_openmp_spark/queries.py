@@ -310,8 +310,19 @@ def q_stopword_ratio(spark, sf_dir):
 
 
 def q_exact_dupes(spark, sf_dir):
-    groups = dd.exact_duplicates(_docs(spark, sf_dir))
-    return groups.select(F.col("n").cast("long"), "doc_ids").orderBy("doc_ids")
+    """Exact dedup over a substrate with REAL duplicate groups: documents
+    unioned with an id-shifted copy of itself, so every doc belongs to a
+    group of >= 2 and the hash gate exercises the positive path (the raw
+    sf fixture has no exact dupes — a 0-row pass is vacuous). doc_ids
+    emitted as a comma-joined scalar (the driver's canonicalizer cannot
+    hash array columns)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    both = d.unionByName(d.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text"))
+    groups = dd.exact_duplicates(both)
+    return groups.select(
+        F.col("n").cast("long"),
+        F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string"))).alias("doc_ids"),
+    ).orderBy("doc_ids")
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -364,7 +375,18 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    return dd.simhash_duplicates(_docs(spark, sf_dir)).select("n", "doc_ids").orderBy("doc_ids")
+    """SimHash Hamming-0 duplicate groups; doc_ids as a comma-joined scalar
+    (array columns crash the driver's canonicalizer)."""
+    return dd.simhash_duplicates(_docs(spark, sf_dir)).select(
+        F.col("n").cast("long"),
+        F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string"))).alias("doc_ids"),
+    ).orderBy("doc_ids")
+
+
+def q_simhash_near(spark, sf_dir):
+    """SimHash Hamming-<=8 near-dup pairs via band rotation (exact
+    pigeonhole retrieval, bit_count verification)."""
+    return dd.simhash_near_pairs(_docs(spark, sf_dir), max_hamming=8).orderBy("a", "b")
 
 
 def q_lsh_cosine(spark, sf_dir):
@@ -421,6 +443,7 @@ QUERIES = {
     "leiden_pages": q_leiden_pages,
     "minhash_lsh": q_minhash_lsh,
     "simhash": q_simhash,
+    "simhash_near": q_simhash_near,
     "lsh_cosine": q_lsh_cosine,
     "image_features": q_image_features,
 }
@@ -637,20 +660,29 @@ ORACLES: dict[str, str] = {
         "/ len(toks), 9) END AS stop_ratio FROM t"
     ),
     "exact_dupes": (
-        "WITH n AS (SELECT doc_id, regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm "
-        "FROM documents) "
-        "SELECT CAST(COUNT(*) AS BIGINT) AS n, list_sort(list(doc_id)) AS doc_ids FROM n "
+        "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents "
+        "UNION ALL SELECT CAST(doc_id AS BIGINT) + 10000000, text FROM documents), "
+        "n AS (SELECT doc_id, regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm "
+        "FROM d) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "array_to_string(list_sort(list(doc_id)), ',') AS doc_ids FROM n "
         "GROUP BY norm HAVING COUNT(*) >= 2 ORDER BY doc_ids"
     ),
     "ngram_jaccard": (
+        # mirrors ngram_jaccard_pairs(max_df=1000): candidates restricted to
+        # pairs sharing a sub-hot shingle, exact jaccard on full sets
         "WITH toks AS (SELECT doc_id, regexp_split_to_array("
         "regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS t FROM documents), "
         "grams AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') "
         "FOR i IN range(1, len(t) - 1)]) AS g FROM toks WHERE len(t) >= 3), "
         "sz AS (SELECT doc_id, len(g) AS n_sh FROM grams), "
         "ex AS (SELECT doc_id, UNNEST(g) AS gram FROM grams), "
-        "inter AS (SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS i FROM ex a JOIN ex b "
-        "ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY a.doc_id, b.doc_id) "
+        "keep AS (SELECT gram FROM ex GROUP BY gram HAVING COUNT(*) <= 1000), "
+        "exk AS (SELECT ex.doc_id, ex.gram FROM ex JOIN keep USING (gram)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM exk a JOIN exk b "
+        "ON a.gram = b.gram AND a.doc_id < b.doc_id), "
+        "inter AS (SELECT cand.a, cand.b, len(list_intersect(ga.g, gb.g)) AS i "
+        "FROM cand JOIN grams ga ON ga.doc_id = cand.a JOIN grams gb ON gb.doc_id = cand.b) "
         "SELECT inter.a, inter.b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 9) AS jaccard "
         "FROM inter JOIN sz sa ON sa.doc_id = inter.a JOIN sz sb ON sb.doc_id = inter.b "
         "WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5"
@@ -667,3 +699,15 @@ ORACLES: dict[str, str] = {
         "FROM ranked WHERE rn <= 5"
     ),
 }
+
+# Captured-VALUES oracles for the deterministic queries with no closed-form
+# SQL equivalent (iterative Leiden/Louvain, xxhash64 LSH, Arrow-UDF feature
+# extraction). Generated by tools/gen_value_oracles.py from a verified run
+# (golden-label + invariant + recall tests back the captures); the driver's
+# rows/schema/hash gate then re-verifies cross-session determinism against
+# them. See oracles_values.py header for the verification chain.
+try:
+    from .oracles_values import VALUE_ORACLES
+    ORACLES.update(VALUE_ORACLES)
+except ImportError:  # pre-capture checkout: those queries grade rows-only
+    pass
