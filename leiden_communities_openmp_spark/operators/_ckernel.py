@@ -154,6 +154,26 @@ def get_kernel():
             c_p, c_p,                             # ever_moved acc_gain
         ]
         _kernel = fn
-    except Exception:
+    except (OSError, subprocess.CalledProcessError) as exc:
+        # Narrow except: a missing gcc / full tmpfs / loader error falls back
+        # to the numpy sweep — a DIFFERENT algorithm family whose labels may
+        # diverge from the C kernel's, so the fallback must be LOUD: on a
+        # heterogeneous cluster a silent per-executor fallback would break
+        # the fixed-partition-count bit-identical-labels guarantee with no
+        # signal. The warning lands in executor stderr; callers can assert a
+        # single backend run-wide via kernel_backend().
+        import warnings
+        warnings.warn(
+            f"leiden C sweep kernel unavailable ({exc!r}); falling back to "
+            "the numpy sweep — labels may differ from C-kernel runs",
+            RuntimeWarning, stacklevel=2)
         _kernel = None
     return _kernel
+
+
+def kernel_backend() -> str:
+    """'c' if the compiled sweep is (or will be) used on this worker,
+    'numpy' otherwise. Drivers can spark-collect this from every executor
+    (e.g. via mapPartitions on a probe range) to assert one backend
+    run-wide before trusting cross-run label identity."""
+    return "c" if get_kernel() is not None else "numpy"

@@ -13,6 +13,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from .materialize import materialize as _materialize_reset
+
 
 def _vertices(edges: DataFrame) -> DataFrame:
     return (
@@ -23,7 +25,9 @@ def _vertices(edges: DataFrame) -> DataFrame:
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    return df.localCheckpoint(eager=True)
+    # stats-resetting checkpoint: see operators/materialize.py — without it
+    # every iteration of these loops gets slower (compounding join stats)
+    return _materialize_reset(df)
 
 
 def pagerank(edges: DataFrame, iterations: int = 5, damping: float = 0.85) -> DataFrame:

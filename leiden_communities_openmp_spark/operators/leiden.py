@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .kernel import CsrGraph, LeidenOptions, leiden_exact
+from .materialize import materialize as _materialize_reset
 from .sweep import DriverState, sweep_partition
 
 _MOVES_SCHEMA = "id long, community_new long, gain double"
@@ -99,11 +100,13 @@ def _range_partition_edges(spark: SparkSession, g: DataFrame, vid, weight, p: in
     import numpy as np
 
     vid = np.asarray(vid, dtype=np.int64)
+    if len(vid) == 0:                                # no vertices: nothing to cut
+        return g.repartition(p)
     cum = np.cumsum(weight)
     total = float(cum[-1]) if len(cum) else 0.0
     targets = np.linspace(0, total, p + 1)[1:-1]
     bounds_idx = np.searchsorted(cum, targets)       # vid index upper bounds
-    cuts = vid[np.minimum(bounds_idx, max(len(vid) - 1, 0))] if len(vid) else []
+    cuts = vid[np.minimum(bounds_idx, len(vid) - 1)]
     labels = _partition_labels(spark, p)
     expr = F.lit(labels[p - 1])
     for i in range(p - 2, -1, -1):                   # src < cuts[i] → bucket i
@@ -130,10 +133,12 @@ class LeidenRunResult:
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    """Cut lineage inside iterative loops: an eager localCheckpoint keeps
-    each round's plan O(1) instead of O(rounds). On a cluster this is a
-    reliable checkpoint / shuffle-reuse point."""
-    return df.localCheckpoint(eager=True)
+    """Cut lineage inside iterative loops — eager localCheckpoint PLUS a
+    stats reset (operators/materialize.py): Spark 4's checkpoint carries
+    the origin plan's size statistics into the new leaf, and a loop that
+    re-joins its own checkpoints compounds them geometrically until the
+    driver stalls in BigInteger stats arithmetic."""
+    return _materialize_reset(df)
 
 
 def vertex_weights(edges: DataFrame) -> DataFrame:
@@ -189,11 +194,19 @@ def _compose(outer: DataFrame, inner: DataFrame, n_inner: int | None = None) -> 
 
 def _move_round(edges: DataFrame, memb: DataFrame, vtot: DataFrame, ctot: DataFrame,
                 M: float, R: float, aff: DataFrame | None = None,
-                bound: DataFrame | None = None, refine: bool = False) -> DataFrame:
+                bound: DataFrame | None = None, refine: bool = False,
+                direction: int = 0, broadcast_ctot: bool = True) -> DataFrame:
     """One bulk-synchronous local-move round (``rounds`` strategy) → moves
     (id, community_new, gain): strictly-positive-gain argmax over scanned
     communities (L1+L2: inc/properties.hxx:253-256, inc/leiden.hxx:492-502)
-    against the round-start snapshot; ties broken by smallest target id."""
+    against the round-start snapshot; ties broken by smallest target id.
+
+    ``direction``: -1/+1 restricts moves to strictly smaller/larger target
+    community ids — alternating the sign per round makes synchronous
+    two-vertex swap cycles impossible (a swap needs one down- AND one
+    up-move in the same round). ``broadcast_ctot=False`` lets AQE plan the
+    ctot joins instead of forcing a broadcast — required past ~10⁸
+    communities where the broadcast itself is the ceiling."""
     ms = memb.select(F.col("id").alias("src"), F.col("community").alias("d"))
     md = memb.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
 
@@ -205,18 +218,22 @@ def _move_round(edges: DataFrame, memb: DataFrame, vtot: DataFrame, ctot: DataFr
         bd = bound.select(F.col("id").alias("dst"), F.col("bound").alias("bd"))
         e = e.join(bs, "src").join(bd, "dst").filter(F.col("bs") == F.col("bd")).drop("bs", "bd")
 
+    hint = F.broadcast if broadcast_ctot else (lambda df: df)
     vcout = e.join(md, "dst").groupBy("src", "cd").agg(F.sum("w").alias("vcout"))  # A4
     cand = (
         vcout.join(ms, "src")
         .join(vtot.select(F.col("id").alias("src"), "vtot"), "src")
-        .join(F.broadcast(ctot.select(F.col("community").alias("cd"), F.col("ctot").alias("ctot_c"))), "cd")
-        .join(F.broadcast(ctot.select(F.col("community").alias("d"), F.col("ctot").alias("ctot_d"))), "d")
+        .join(hint(ctot.select(F.col("community").alias("cd"), F.col("ctot").alias("ctot_c"))), "cd")
+        .join(hint(ctot.select(F.col("community").alias("d"), F.col("ctot").alias("ctot_d"))), "d")
     )
-    vdout = (
-        vcout.join(ms, "src").filter(F.col("cd") == F.col("d"))
-        .select("src", F.col("vcout").alias("vdout"))
+    # vdout (the tally of u's own community) via a per-vertex window over the
+    # SAME scan result — NOT a second join against the A4 subtree: the tally
+    # is the round's dominant cost and a re-join would recompute it
+    w_src = Window.partitionBy("src")
+    cand = cand.withColumn(
+        "vdout",
+        F.max(F.when(F.col("cd") == F.col("d"), F.col("vcout")).otherwise(F.lit(0.0))).over(w_src),
     )
-    cand = cand.join(vdout, "src", "left").na.fill({"vdout": 0.0})
     if refine:
         cand = cand.filter(F.col("ctot_d") <= F.col("vtot"))  # singleton source (inc/leiden.hxx:590)
 
@@ -228,10 +245,257 @@ def _move_round(edges: DataFrame, memb: DataFrame, vtot: DataFrame, ctot: DataFr
         cand.filter(F.col("cd") != F.col("d"))
         .withColumn("gain", gain).filter(F.col("gain") > 0)
     )
+    if direction > 0:
+        scored = scored.filter(F.col("cd") > F.col("d"))
+    elif direction < 0:
+        scored = scored.filter(F.col("cd") < F.col("d"))
     return scored.groupBy("src").agg(
         F.expr("max_by(cd, struct(gain, -cd))").alias("community_new"),
         F.max("gain").alias("gain"),
     ).select(F.col("src").alias("id"), "community_new", "gain")
+
+
+def _driver_finish(spark: SparkSession, g: DataFrame, R: float, E: float,
+                   o: LeidenOptions, refine: bool, passes_used: int):
+    """Finish a small (post-coarsening) graph with the deterministic kernel
+    on the driver — mirrors the reference's own switch to a packed CSR after
+    pass 1 (inc/leiden.hxx:1249-1250). Returns (memb_df, n_vertices, sub)."""
+    pdf = g.toPandas()
+    vid = np.unique(np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
+    src_i = np.searchsorted(vid, pdf["src"].to_numpy())
+    dst_i = np.searchsorted(vid, pdf["dst"].to_numpy())
+    triples = sorted(zip(src_i.tolist(), dst_i.tolist(), pdf["w"].tolist()))
+    csr = CsrGraph.__new__(CsrGraph)
+    indptr = [0] * (len(vid) + 1)
+    dsts, ws = [], []
+    j = 0
+    for u in range(len(vid)):
+        while j < len(triples) and triples[j][0] == u:
+            dsts.append(triples[j][1]); ws.append(triples[j][2]); j += 1
+        indptr[u + 1] = len(dsts)
+    csr.span, csr.indptr, csr.dst, csr.w = len(vid), indptr, dsts, ws
+    csr.exists = [True] * len(vid)
+    sub = leiden_exact(csr, LeidenOptions(
+        resolution=R, tolerance=E, aggregation_tolerance=o.aggregation_tolerance,
+        tolerance_drop=o.tolerance_drop, max_iterations=o.max_iterations,
+        max_passes=max(o.max_passes - passes_used, 1)), refine=refine)
+    memb_rows = [(int(vid[i]), int(sub.membership[i])) for i in range(len(vid))]
+    memb_df = spark.createDataFrame(memb_rows, "id long, community long")
+    return memb_df, len(vid), sub
+
+
+def _renumber_distributed(spark: SparkSession, memb: DataFrame,
+                          num_partitions: int = 32):
+    """Order-preserving dense renumber (R2, inc/leiden.hxx:1000-1005)
+    WITHOUT driver-side vertex state — the Spark analogue of the reference's
+    exclusive scan (R1, inc/_vector.hxx:1496-1536): distinct community ids
+    range-partitioned ascending, per-partition local rank, plus an
+    exclusive scan of the (tiny, one-per-partition) partition counts.
+    Returns ((community, cnew) relabel map, distinct community count).
+
+    Scale: the only driver traffic is num_partitions count rows; everything
+    else is one range shuffle over the distinct-community set. (A global
+    ``dense_rank`` window would funnel all communities through ONE task.)"""
+    import pandas as pd
+
+    comms = (
+        memb.select("community").distinct()
+        .repartitionByRange(num_partitions, "community")
+        .localCheckpoint(eager=True)       # pin sampled range boundaries
+    )
+    with_pid = comms.withColumn("pid", F.spark_partition_id())
+    counts = {int(r["pid"]): int(r["n"]) for r in
+              with_pid.groupBy("pid").agg(F.count("*").alias("n")).collect()}
+    cn = sum(counts.values())
+    offsets = {}
+    acc = 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    def rank(batches):
+        rows = [b for b in batches]
+        if not rows:
+            return
+        df = pd.concat(rows, ignore_index=True).sort_values("community")
+        base = offsets.get(int(df["pid"].iloc[0]), 0)
+        yield pd.DataFrame({
+            "community": df["community"].to_numpy(),
+            "cnew": np.arange(base, base + len(df), dtype="int64"),
+        })
+
+    relab = with_pid.mapInPandas(rank, "community long, cnew long")
+    return relab, cn
+
+
+def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOptions,
+                 R: float, refine: bool, local_iters: int, driver_threshold: int,
+                 driver_vertex_threshold: int, num_partitions: int,
+                 metrics: list, verbose: bool, checkpointer=None,
+                 start=(0, None, None, None, 0)):
+    """Pure-DataFrame pass loop (``rounds`` strategy) — the ≥10⁹-vertex
+    fallback with NO driver-side per-vertex state: membership, vertex
+    weights, and community weights all live as DataFrames; the driver holds
+    only scalars (M, E, counts) and one count-per-shuffle-partition map for
+    the renumber scan. Same pass contract as the sweep path (tolerance
+    schedule, aggregation early-exit, order-preserving renumber, dendrogram
+    flattening); the move phase is bulk-synchronous rounds (_move_round)
+    with alternating direction to break swap cycles — the same
+    parallel-Leiden family as the reference's racy OpenMP loop
+    (inc/leiden.hxx:646-668), traded per-round latency for unbounded state.
+
+    Refinement (one constrained round, inc/leiden.hxx:1259-1268) resolves
+    synchronous conflicts with a connectivity-preserving acceptance rule:
+    a singleton move u→c is accepted only if anchor vertex c has no
+    candidate move of its own — every refined community is then a star
+    around its anchor (each accepted mover shares an edge with c inside the
+    bound), so the well-connectedness guarantee survives without the
+    reference's sequential rollback (inc/leiden.hxx:536-548).
+    """
+    p, ucom, g, E, total_iters = start
+    g = edges0 if g is None else g
+    E = o.tolerance if E is None else E
+    n_vertices: int | None = None
+    while True:
+        t0 = time.time()
+        n_edges = g.count()
+        if n_edges <= driver_threshold or (
+                n_vertices is not None and n_vertices <= driver_vertex_threshold):
+            memb_df, n_vid, sub = _driver_finish(spark, g, R, E, o, refine, p)
+            ucom = _materialize(memb_df if ucom is None else _compose(ucom, memb_df, n_vid))
+            total_iters += sub.iterations
+            p += sub.passes
+            metrics.append({"pass": p, "strategy": "driver-kernel",
+                            "vertices": n_vid, "edges": int(n_edges),
+                            "kernel_passes": sub.passes,
+                            "pass_seconds": round(time.time() - t0, 3)})
+            break
+
+        vt = _materialize(vertex_weights(g))               # A2
+        gn = vt.count()
+        big = gn > _BROADCAST_VERTEX_LIMIT
+        memb = _materialize(vt.select("id", F.col("id").alias("community")))
+        ctot = vt.select(F.col("id").alias("community"), F.col("vtot").alias("ctot"))
+
+        # red-black rounds: each round only one deterministic hash-color
+        # class may move against the frozen complement — the standard
+        # remedy for bulk-synchronous label oscillation (a collective
+        # period-2 cycle needs BOTH endpoints re-deciding in lockstep;
+        # with colors every adjacent decision pair is split across rounds
+        # with one side updated — Jacobi → red-black Gauss-Seidel).
+        colors = [
+            _materialize(vt.select("id").filter(
+                F.pmod(F.xxhash64("id"), F.lit(2)) == c))
+            for c in (0, 1)
+        ]
+        move_iters = 0
+        el_prev = float("inf")
+        seed_nbrs = None              # affected-set pruning (L6) across rounds
+        recent_movers: list[DataFrame] = []   # last 2 rounds (one color cycle)
+        for rnd in range(local_iters):
+            t_rnd = time.time()
+            aff = colors[rnd % 2]
+            if seed_nbrs is not None:
+                aff = aff.join(seed_nbrs, "id", "left_semi")
+            moves = _materialize(_move_round(
+                g, memb, vt, ctot, M, R, aff=aff, broadcast_ctot=not big))
+            t_mv = time.time() - t_rnd
+            move_iters += 1
+            row = moves.agg(F.count("*").alias("n"),
+                            F.coalesce(F.sum("gain"), F.lit(0.0)).alias("el")).collect()[0]
+            nm, el = int(row["n"]), float(row["el"])
+            if verbose:
+                print(f"[rounds] pass={p+1} rnd={rnd} movers={nm} el={el:.5f} "
+                      f"(move_job={t_mv:.1f}s)", flush=True)
+            recent_movers = (recent_movers + [moves.select("id")])[-2:]
+            if nm:
+                # stats-reset leaves don't auto-broadcast — hint explicitly
+                # while the mover set is broadcastable (it usually is after
+                # round 0; a huge early set falls back to a shuffle join)
+                mv_sel = moves.select("id", "community_new")
+                if nm <= 5_000_000:
+                    mv_sel = F.broadcast(mv_sel)
+                memb = _materialize(
+                    memb.join(mv_sel, "id", "left")
+                    .select("id", F.coalesce("community_new", "community").alias("community")))
+                # materialized: the next round's plan reads ctot twice
+                ctot = _materialize(community_weights(memb, vt))
+            # affected-set pruning once the frontier is small: only movers
+            # of the last TWO rounds (one full color cycle) and their
+            # neighbors get rescanned — a vertex activated by a round-r
+            # move stays scannable through both color phases
+            if nm < 0.02 * gn and len(recent_movers) == 2:
+                seed = recent_movers[0].unionByName(recent_movers[1])
+                nb = g.join(seed.select(F.col("id").alias("dst")), "dst",
+                            "left_semi").select(F.col("src").alias("id"))
+                seed_nbrs = _materialize(seed.unionByName(nb).distinct())
+            else:
+                seed_nbrs = None
+            # a color round sees half the move space: converged only when a
+            # FULL cycle (both colors) stays under tolerance
+            if (el <= E and el_prev <= E) and rnd >= 1:
+                break
+            el_prev = el
+
+        t_ref0 = time.time()
+        if refine:
+            # The reference's refine is a sequential gain-constrained sweep
+            # whose chain-forming acceptance (inc/leiden.hxx:588-597) has no
+            # efficient bulk-synchronous equivalent: synchronous singleton
+            # star-merging advances one BFS hop per round, so ring-like
+            # communities need O(diameter) expensive rounds. At unbounded
+            # scale we instead compute refinement as CONNECTIVITY REPAIR —
+            # each refined community is one connected component of a
+            # local-move community (components of the bound-restricted edge
+            # subgraph, large-star/small-star: O(log n) shuffle rounds).
+            # This is the coarsest refinement that restores the invariant
+            # the refine phase exists for (zero internally-disconnected
+            # communities, README.md:19); labels stay vertex-anchored (min
+            # member id). Documented deviation: gain-based sub-splitting
+            # beyond connectivity is the sweep/kernel paths' job.
+            from .companions import connected_components as _cc
+            bs = memb.select(F.col("id").alias("src"), F.col("community").alias("cs"))
+            bd = memb.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+            intra = (
+                g.join(bs, "src").join(bd, "dst")
+                .filter(F.col("cs") == F.col("cd"))
+                .select("src", "dst")
+            )
+            cc = _cc(intra)   # (id, component = min member id), edge-covered vertices
+            memb = _materialize(
+                memb.join(cc, "id", "left")
+                .select("id", F.coalesce(F.col("component"), F.col("id")).alias("community")))
+        t_ref = time.time() - t_ref0
+
+        total_iters += max(move_iters, 1)
+        p += 1
+        relab, cn = _renumber_distributed(spark, memb, num_partitions)   # R1+R2
+        relab = _materialize(relab)
+        memb_dense = _materialize(
+            memb.join(relab, "community").select("id", F.col("cnew").alias("community")))
+        ucom = _materialize(memb_dense if ucom is None else _compose(ucom, memb_dense, None))
+        rec = {"pass": p, "strategy": "rounds", "move_iterations": move_iters,
+               "vertices": gn, "communities": cn, "edges": int(n_edges),
+               "tolerance": E, "refine_seconds": round(t_ref, 3),
+               "pass_seconds": round(time.time() - t0, 3)}
+        metrics.append(rec)
+        if verbose:
+            print(f"[leiden_scale/rounds] pass={p} iters={move_iters} GN={gn} CN={cn} "
+                  f"E={E:g} ({time.time() - t0:.1f}s)")
+        if move_iters <= 1 or p >= o.max_passes or float(cn) / gn >= o.aggregation_tolerance:
+            break
+        # aggregate (A9) with the dense relabel
+        ms = memb_dense.select(F.col("id").alias("src"), F.col("community").alias("cs"))
+        md = memb_dense.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+        g = _materialize(
+            g.join(ms, "src").join(md, "dst")
+            .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+            .agg(F.sum("w").alias("w")))
+        n_vertices = cn
+        E /= o.tolerance_drop
+        if checkpointer is not None:
+            checkpointer.save(p, ucom, g, E, total_iters, metrics)
+    return ucom, p, total_iters
 
 
 # ---------------------------------------------------------------------------
@@ -243,7 +507,9 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                  num_partitions: int = 32, local_iters: int = 20,
                  driver_threshold: int = 50000,
                  driver_vertex_threshold: int = 20000,
-                 frontier_threshold: float = 0.0) -> LeidenRunResult:
+                 frontier_threshold: float = 0.0,
+                 strategy: str = "auto",
+                 rounds_vertex_threshold: int = 300_000_000) -> LeidenRunResult:
     """Distributed Leiden (``refine=True``) / Louvain (``refine=False``).
 
     ``edges`` must be symmetric and deduplicated (sources/edges.py).
@@ -252,6 +518,15 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
     edge rows finish on the driver with the deterministic kernel.
     ``checkpointer``: plans.checkpoint.CheckpointManager for per-super-step
     persistence + resume.
+
+    ``strategy``: ``"sweep"`` (broadcast-state partitioned Gauss-Seidel,
+    O(|V|) driver+broadcast arrays — the fast path to ~10⁸-10⁹ vertices),
+    ``"rounds"`` (pure-DataFrame bulk-synchronous rounds, no per-vertex
+    driver state — the unbounded-scale fallback), or ``"auto"``: pick
+    ``rounds`` when the estimated vertex count exceeds
+    ``rounds_vertex_threshold`` (default 3×10⁸ ≈ 10 GB of driver/broadcast
+    state at 4×8B per vertex — beyond that the sweep's state shipping IS
+    the bottleneck).
     """
     o = options or LeidenOptions()
     R = o.resolution
@@ -266,6 +541,28 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
     if M <= 0:
         empty = spark.createDataFrame([], "id long, community long")
         return LeidenRunResult(empty, 0.0, 0, 0, 0.0, [])
+
+    if strategy == "auto":
+        # one cheap HLL aggregation (no distinct shuffle) decides the path
+        n_est = int(edges0.agg(F.approx_count_distinct("src").alias("n")).collect()[0]["n"])
+        strategy = "rounds" if n_est > rounds_vertex_threshold else "sweep"
+        metrics.append({"phase": "strategy", "chosen": strategy, "v_estimate": n_est})
+    if strategy == "rounds":
+        start = (0, None, None, None, 0)
+        if checkpointer is not None:
+            resumed = checkpointer.latest(spark)
+            if resumed is not None:
+                rp, rucom, rg, rE, rti, metrics = resumed
+                start = (rp, _materialize(rucom), _materialize(rg), rE, rti)
+        ucom, p, total_iters = _rounds_loop(
+            spark, edges0, M, o, R, refine, local_iters, driver_threshold,
+            driver_vertex_threshold, num_partitions, metrics, verbose,
+            checkpointer=checkpointer, start=start)
+        t_q = time.time()
+        q = modularity_df(edges0, ucom, M, R)
+        metrics.append({"phase": "final_modularity", "seconds": round(time.time() - t_q, 3)})
+        edges0.unpersist()
+        return LeidenRunResult(ucom, q, p, total_iters, M, metrics)
 
     sc = spark.sparkContext
     g = edges0
@@ -298,32 +595,12 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         # faster under the sequential kernel than under bounded sync rounds)
         if n_edges <= driver_threshold or (
                 n_vertices is not None and n_vertices <= driver_vertex_threshold):
-            pdf = g.toPandas()
-            vid = np.unique(np.concatenate([pdf["src"].to_numpy(), pdf["dst"].to_numpy()]))
-            src_i = np.searchsorted(vid, pdf["src"].to_numpy())
-            dst_i = np.searchsorted(vid, pdf["dst"].to_numpy())
-            triples = sorted(zip(src_i.tolist(), dst_i.tolist(), pdf["w"].tolist()))
-            csr = CsrGraph.__new__(CsrGraph)
-            indptr = [0] * (len(vid) + 1)
-            dsts, ws = [], []
-            j = 0
-            for u in range(len(vid)):
-                while j < len(triples) and triples[j][0] == u:
-                    dsts.append(triples[j][1]); ws.append(triples[j][2]); j += 1
-                indptr[u + 1] = len(dsts)
-            csr.span, csr.indptr, csr.dst, csr.w = len(vid), indptr, dsts, ws
-            csr.exists = [True] * len(vid)
-            sub = leiden_exact(csr, LeidenOptions(
-                resolution=R, tolerance=E, aggregation_tolerance=o.aggregation_tolerance,
-                tolerance_drop=o.tolerance_drop, max_iterations=o.max_iterations,
-                max_passes=max(o.max_passes - p, 1)), refine=refine)
-            memb_rows = [(int(vid[i]), int(sub.membership[i])) for i in range(len(vid))]
-            memb_df = spark.createDataFrame(memb_rows, "id long, community long")
-            ucom = _materialize(memb_df if ucom is None else _compose(ucom, memb_df, len(memb_rows)))
+            memb_df, n_vid, sub = _driver_finish(spark, g, R, E, o, refine, p)
+            ucom = _materialize(memb_df if ucom is None else _compose(ucom, memb_df, n_vid))
             total_iters += sub.iterations
             p += sub.passes
             metrics.append({"pass": p, "strategy": "driver-kernel",
-                            "vertices": len(vid), "edges": int(n_edges),
+                            "vertices": n_vid, "edges": int(n_edges),
                             "kernel_passes": sub.passes,
                             "pass_seconds": round(time.time() - t0, 3)})
             if verbose:
@@ -359,16 +636,23 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         t_part = time.time() - t_ph
         gn = len(state.vid)
 
-        def run_sweep(st_dict, refine_flag, E_cur, direction=0, feed=None):
+        # vid/vtot are pass-constant: broadcast them ONCE per pass; each
+        # round ships only the mutable half (comm, ctot, seed/bound) — half
+        # the per-round driver serialization and torrent traffic, and the
+        # static blocks stay warm in every reused Python worker
+        bc_static = sc.broadcast({"vid": state.vid, "vtot": state.vtot})
+
+        def run_sweep(dyn_dict, refine_flag, E_cur, direction=0, feed=None):
             # the in-task sweep sees ~1/P of the graph, so its share of the
             # global gain budget is E/P — a task that compares its local
             # gain sum to the GLOBAL E quits ~P× too early and pushes the
             # convergence work into many more (expensive) coarse rounds
             E_task = E_cur / max(num_partitions, 1)
-            bc = sc.broadcast(st_dict)
+            bc = sc.broadcast(dyn_dict)
             try:
                 out = (feed if feed is not None else part_edges).mapInPandas(
-                    lambda it: sweep_partition(it, bc.value, M, R, E_task,
+                    lambda it: sweep_partition(it, {**bc_static.value, **bc.value},
+                                               M, R, E_task,
                                                1 if refine_flag else local_iters,
                                                refine_flag, direction),
                     schema=_MOVES_SCHEMA,
@@ -397,7 +681,8 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         t_move0 = time.time()
         el_prev = float("inf")
         round_log: list[dict] = []
-        changed_pos = None            # previous round's movers → aff seed
+        changed_pos = None            # aff seed (union of last 2 rounds' movers)
+        prev_pos = None               # movers of the immediately previous round
         prev_sigs: list[tuple] = []   # limit-cycle detection (period ≤ 2)
         for rnd in range(o.max_iterations):
             # alternate move direction across coarse rounds to break
@@ -405,7 +690,7 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             # a single partition has no stale state and sweeps freely
             direction = 0 if num_partitions <= 1 else (-1 if rnd % 2 == 0 else 1)
             t_rnd = time.time()
-            snap = state.snapshot()
+            snap = state.snapshot(static=False)
             feed = None
             if changed_pos is not None and len(changed_pos):
                 snap["changed_pos"] = changed_pos
@@ -424,10 +709,19 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                 # aff-seed the next round only when the frontier is small:
                 # a big mover set needs a full re-equilibration round (frontier
                 # waves otherwise keep el hovering at the tolerance), while a
-                # small one makes the next round O(frontier) — the 100 TB tail
-                changed_pos = pos if len(out) < 0.02 * gn else None
+                # small one makes the next round O(frontier) — the 100 TB tail.
+                # Seed with the UNION of the last two rounds' movers: rounds
+                # alternate direction, so a vertex activated by a round-r move
+                # must stay scannable through r+1 AND r+2 (one round of each
+                # direction) or a direction-blocked positive move would be
+                # skipped for the rest of the pass (unlike the reference's
+                # direction-free vaff pruning, inc/leiden.hxx:656,661-662)
+                seed = pos if prev_pos is None else np.union1d(pos, prev_pos)
+                changed_pos = seed if len(seed) < 0.02 * gn else None
+                prev_pos = pos
             else:
                 changed_pos = np.empty(0, dtype=np.int64)
+                prev_pos = changed_pos
             el = float(out["gain"].sum()) if len(out) else 0.0
             round_log.append({"seconds": round(time.time() - t_rnd, 2),
                               "movers": int(len(out)), "el": round(el, 6)})
@@ -453,35 +747,53 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             bound = state.comm.copy()
             state.comm = state.vid.copy()          # singleton re-init
             state.ctot = state.vtot.copy()
-            out = run_sweep(state.snapshot(bound), True, E)
+            out = run_sweep(state.snapshot(bound, static=False), True, E)
             t_ref_job = time.time() - t_ref0
             if len(out):
-                # sequential acceptance in ascending id order replicates the
-                # source-still-singleton check (inc/leiden.hxx:536-548);
-                # positions pre-resolved vectorized, loop on plain lists
+                # Ascending-id sequential acceptance (the source-still-
+                # singleton recheck, inc/leiden.hxx:536-548) — vectorized.
+                # After singleton re-init every mover's source community is
+                # itself, so the sequential semantics reduce to: a move u→c
+                # is rejected iff some ACCEPTED mover w < u targeted
+                # community u (ctot[u] then exceeds vtot[u] when u is
+                # processed). Dependencies only point from smaller to larger
+                # ids, so the unique fixpoint is reached by iterating the
+                # rejection map — each numpy pass settles one more stratum
+                # of the (short in practice) dependency chains; O(movers)
+                # work per pass instead of a per-mover Python loop.
                 out = out.sort_values("id")
-                ids = state.pos(out["id"].to_numpy(np.int64)).tolist()
-                tgt_ids = out["community_new"].to_numpy(np.int64)
-                tps = state.pos(tgt_ids).tolist()
-                tgts = tgt_ids.tolist()
-                dps = state.pos(state.comm[ids]).tolist()
-                ctot_l = state.ctot.tolist()
-                vtot_l = state.vtot.tolist()
-                comm_l = state.comm.tolist()
-                for k in range(len(ids)):
-                    up = ids[k]
-                    uv = vtot_l[up]
-                    dp = dps[k]
-                    if ctot_l[dp] > uv:
-                        continue
-                    cp = tps[k]
-                    ctot_l[dp] -= uv
-                    ctot_l[cp] += uv
-                    comm_l[up] = tgts[k]
-                state.comm = np.asarray(comm_l, dtype=np.int64)
-                state.ctot = np.asarray(ctot_l, dtype=np.float64)
+                uid = out["id"].to_numpy(np.int64)          # ascending
+                tgt = out["community_new"].to_numpy(np.int64)
+                ups = state.pos(uid)
+                tps = state.pos(tgt)
+                uvt = state.vtot[ups]
+                INF = np.iinfo(np.int64).max
+                order = np.argsort(tgt, kind="stable")
+                tgt_s = tgt[order]
+                uid_s = uid[order]
+                seg = np.flatnonzero(np.concatenate([[True], tgt_s[1:] != tgt_s[:-1]]))
+                seg_tgt = tgt_s[seg]                        # distinct targets
+                u_seg = np.minimum(np.searchsorted(seg_tgt, uid), len(seg) - 1)
+                has_in = seg_tgt[u_seg] == uid              # u is someone's target
+                acc = np.ones(len(uid), dtype=bool)
+                for _ in range(len(uid) + 1):
+                    # per-target min id among currently-accepted in-movers
+                    # (zero-weight movers leave ctot at vtot — not a
+                    # rejection), then: u rejected iff that min < u
+                    cand_id = np.where(acc[order] & (uvt[order] > 0), uid_s, INF)
+                    seg_min = np.minimum.reduceat(cand_id, seg)
+                    min_in = np.where(has_in, seg_min[u_seg], INF)
+                    new_acc = ~(min_in < uid)
+                    if np.array_equal(new_acc, acc):
+                        break
+                    acc = new_acc
+                a = np.flatnonzero(acc)
+                state.comm[ups[a]] = tgt[a]
+                np.add.at(state.ctot, ups[a], -uvt[a])
+                np.add.at(state.ctot, tps[a], uvt[a])
             t_ref_apply = time.time() - t_ref0 - t_ref_job
         t_ref = time.time() - t_ref0
+        bc_static.destroy()
 
         total_iters += max(move_iters, 1)
         p += 1
@@ -526,13 +838,28 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             memb_df.select(F.col("id").alias("src"), F.col("community").alias("cs")), gn)
         md = _maybe_broadcast(
             memb_df.select(F.col("id").alias("dst"), F.col("community").alias("cd")), gn)
-        g = _materialize(
-            part_edges.join(ms, "src").join(md, "dst")
-            .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
-            .agg(F.sum("w").alias("w"))
-        )
+        joined = part_edges.join(ms, "src").join(md, "dst")
+        # giant-community skew (O7, SURVEY §7 hard-part 6): when the
+        # heaviest community holds a big share of total weight, the
+        # (cs, cd) grouping key concentrates on one reducer — measured
+        # from the driver's ctot (free), remedied with a two-stage salted
+        # partial aggregation instead of trusting AQE alone
+        heavy = bool(state.ctot.max() / (2.0 * M) > 0.2) if len(state.ctot) else False
+        if heavy:
+            g = _materialize(
+                joined.withColumn("_salt", F.pmod(F.xxhash64("src"), F.lit(16)))
+                .groupBy("cs", "cd", "_salt").agg(F.sum("w").alias("w"))
+                .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+                .agg(F.sum("w").alias("w"))
+            )
+        else:
+            g = _materialize(
+                joined.groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+                .agg(F.sum("w").alias("w"))
+            )
         part_edges.unpersist()
         rec["aggregate_seconds"] = round(time.time() - t_agg, 3)
+        rec["aggregate_salted"] = heavy
         E /= o.tolerance_drop
         if checkpointer is not None:
             checkpointer.save(p, ucom, g, E, total_iters, metrics)

