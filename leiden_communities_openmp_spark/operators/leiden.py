@@ -736,7 +736,15 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             cycle = sig in prev_sigs
             prev_sigs = (prev_sigs + [sig])[-2:]
             tiny = len(out) <= max(8, gn // 2000)
-            if len(out) == 0 or tiny or cycle or (el <= E and (direction == 0 or el_prev <= E)):
+            # plateau: alternating-direction sweeps can descend very slowly
+            # near a swap-rich fixed point (el improves <30% per 3-round
+            # window) — aggregation + the next pass converges the residue
+            # far cheaper than more same-level rounds, so hand off instead
+            # of grinding to the iteration cap (deterministic rule)
+            els = [r["el"] for r in round_log]
+            plateau = len(els) >= 6 and min(els[-3:]) > 0.7 * min(els[-6:-3])
+            if len(out) == 0 or tiny or cycle or plateau or (
+                    el <= E and (direction == 0 or el_prev <= E)):
                 break
             el_prev = el
         t_move = time.time() - t_move0
