@@ -71,6 +71,48 @@ def test_simhash_buckets_exact_dups(spark):
     assert any(sorted(r["doc_ids"])[:2] == [0, 1] for r in got)
 
 
+def test_simhash_near_pairs_exact_retrieval(spark):
+    """Band-rotated Hamming-<=k retrieval is EXACT (pigeonhole): the pair
+    set must equal brute-force Hamming over all simhash pairs."""
+    from itertools import combinations
+    docs = _docs(spark)
+    codes = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs, 62).collect()}
+    for k in (2, 8):
+        brute = {(a, b) for a, b in combinations(sorted(codes), 2)
+                 if bin(codes[a] ^ codes[b]).count("1") <= k}
+        got = {(r["a"], r["b"]) for r in
+               dd.simhash_near_pairs(docs, max_hamming=k).collect()}
+        assert got == brute
+        for r in dd.simhash_near_pairs(docs, max_hamming=k).collect():
+            assert r["hamming"] == bin(codes[r["a"]] ^ codes[r["b"]]).count("1")
+
+
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """One boilerplate shingle shared by every doc must not quadratically
+    explode the candidate join: with max_df below the corpus size the hot
+    shingle is dropped from candidate generation, while near-dup pairs that
+    also share a discriminative shingle keep their EXACT jaccard score."""
+    boiler = "copyright footer text"
+    rows = [(i, f"unique words number {i} {i} {i} " + boiler) for i in range(40)]
+    rows += [(100, "alpha beta gamma delta epsilon " + boiler),
+             (101, "alpha beta gamma delta zeta " + boiler)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in
+             dd.ngram_jaccard_pairs(d, threshold=0.3, n=3, max_df=10).collect()}
+    assert (100, 101) in pairs
+    # exact jaccard over FULL shingle sets (hot shingles included in the
+    # score, only excluded from candidate generation)
+    import re
+    def grams(t):
+        toks = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+        return {" ".join(toks[i:i+3]) for i in range(len(toks) - 2)}
+    ga, gb = grams(rows[-2][1]), grams(rows[-1][1])
+    expect = len(ga & gb) / len(ga | gb)
+    assert abs(pairs[(100, 101)] - round(expect, 9)) < 1e-9
+    # pairs whose ONLY shared shingles are hot are not candidates
+    assert not any(a < 40 and b < 40 for a, b in pairs)
+
+
 def test_cosine_topk_and_lsh(spark):
     import random
     rng = random.Random(42)
