@@ -293,9 +293,10 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     planes: int = 4, seed: int = 42, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:
     """Random-hyperplane LSH ANN: bucket by sign pattern of ``planes``
-    deterministic pseudo-random hyperplanes, search only same-bucket
-    candidates (plus Hamming-1 neighbor buckets via plane dropout).
-    Approximate — recall measured in tests against cosine_topk."""
+    deterministic pseudo-random hyperplanes; each query probes its own
+    bucket plus every Hamming-1 neighbor bucket (single-plane sign flips —
+    multi-probe). Approximate — recall measured in tests against
+    cosine_topk."""
     import numpy as np
 
     rng = np.random.RandomState(seed)
@@ -315,12 +316,26 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("v"),
     ).withColumn("bucket", bucket_expr(F.col("v")))
+    # multi-probe: each query also searches every Hamming-1 neighbor bucket
+    # (one hyperplane sign flipped) — the standard recall remedy for vectors
+    # near a plane boundary, at (planes+1)× candidate cost instead of the
+    # 2^planes cost of widening the bucket space
     qs = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("q"),
-    ).withColumn("bucket", bucket_expr(F.col("q")))
+    ).withColumn("bucket0", bucket_expr(F.col("q"))).select(
+        "query_id", "q",
+        F.explode(F.array(
+            F.col("bucket0"),
+            *[F.col("bucket0").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+        )).alias("bucket"),
+    )
 
-    cand = qs.join(corpus, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    cand = (
+        qs.join(corpus, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     scored = cand.withColumn(
         "cosine",
         _dot(F.col("q"), F.col("v"))
