@@ -85,3 +85,25 @@ def test_renumber_distributed_dense_order_preserving(spark):
     olds = sorted(rows)
     assert cn == len(olds) == 91
     assert [rows[o] for o in olds] == list(range(91))
+
+
+def test_rounds_checkpoint_resume(spark, graph, tmp_path):
+    """Rounds-mode kill-and-resume: a run resumed from the pass-1 checkpoint
+    produces identical final labels to an uninterrupted rounds run."""
+    import shutil
+
+    from leiden_communities_openmp_spark.plans.checkpoint import CheckpointManager
+
+    kw = dict(strategy="rounds", local_iters=4, driver_threshold=0,
+              driver_vertex_threshold=0)
+    full = leiden_scale(spark, graph, LeidenOptions(max_passes=3),
+                        checkpointer=CheckpointManager(str(tmp_path / "ck_full")), **kw)
+    src, dst = tmp_path / "ck_full", tmp_path / "ck_resume"
+    shutil.copytree(src, dst)
+    for d in sorted(os.listdir(dst))[1:]:
+        shutil.rmtree(dst / d)
+    resumed = leiden_scale(spark, graph, LeidenOptions(max_passes=3),
+                           checkpointer=CheckpointManager(str(dst)), **kw)
+    ra = {r["id"]: r["community"] for r in full.membership.collect()}
+    rb = {r["id"]: r["community"] for r in resumed.membership.collect()}
+    assert ra == rb
