@@ -61,6 +61,51 @@ def count_self_loops(edges: DataFrame) -> DataFrame:
     return edges.filter(F.col("src") == F.col("dst")).agg(F.count("*").alias("self_loops"))
 
 
+def dfs_preorder(edges: DataFrame, source: int) -> DataFrame:
+    """V2 dfsVisitedForEachU (inc/dfs.hxx:19-25) → (id, pos): depth-first
+    PREORDER from ``source``, children explored in ascending dst order (the
+    reference's sorted LazyBitset adjacency, inc/_bitset.hxx:235).
+
+    DFS is inherently sequential — every visit depends on the entire prior
+    visit history — so like the reference (a recursive validation utility,
+    not a parallel path) this executes as ONE task over the (src, dst)-
+    sorted edge feed; use ``bfs_levels`` for distributed reachability. The
+    recursion is replicated with an explicit iterator stack (no Python
+    recursion limit)."""
+    import pandas as pd
+
+    src_v = int(source)
+
+    def run(pdfs):
+        parts = [p for p in pdfs]
+        adj: dict[int, list[int]] = {}
+        if parts:
+            rows = pd.concat(parts, ignore_index=True)
+            for s, d in zip(rows["src"].tolist(), rows["dst"].tolist()):
+                adj.setdefault(int(s), []).append(int(d))
+        visited = {src_v}
+        order = [src_v]
+        stack = [iter(adj.get(src_v, []))]
+        while stack:
+            advanced = False
+            for v in stack[-1]:
+                if v not in visited:
+                    visited.add(v)
+                    order.append(v)
+                    stack.append(iter(adj.get(v, [])))
+                    advanced = True
+                    break
+            if not advanced:
+                stack.pop()
+        yield pd.DataFrame({"id": pd.Series(order, dtype="int64"),
+                            "pos": pd.Series(range(len(order)), dtype="int32")})
+
+    return (
+        edges.select("src", "dst").sort("src", "dst").coalesce(1)
+        .mapInPandas(run, "id long, pos int")
+    )
+
+
 def bfs_levels(edges: DataFrame, source: int, max_depth: int = 50) -> DataFrame:
     """V1 BFS (inc/bfs.hxx:22-55) → (id, level): iterative frontier joins."""
     spark = edges.sparkSession

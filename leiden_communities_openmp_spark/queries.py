@@ -230,6 +230,12 @@ def q_bfs(spark, sf_dir):
     return tr.bfs_levels(block_circulant(spark, GCT_N, GC_B), source=0)
 
 
+def q_dfs(spark, sf_dir):
+    """V2: DFS preorder from vertex 0 (ascending-adjacency recursion order,
+    single-task like the reference's sequential utility)."""
+    return tr.dfs_preorder(block_circulant(spark, GCT_N, GC_B), source=0)
+
+
 def q_batch_tidy(spark, sf_dir):
     """T8: tidy a deterministic batch (deletions must exist: semi-join;
     arithmetic rule marks every 7th orderkey)."""
@@ -462,6 +468,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "label_propagation": q_label_propagation,
     "bfs": q_bfs,
+    "dfs": q_dfs,
     "batch_tidy": q_batch_tidy,
     "events_hourly": q_events_hourly,
     "events_json": q_events_json,

@@ -140,3 +140,36 @@ def test_bfs_levels(spark):
                     nxt.append(v)
         frontier = nxt
     assert lv == want
+
+
+def test_dfs_preorder_matches_recursive_reference(spark):
+    """V2: the single-task DFS preorder equals an independent recursive
+    implementation of dfsVisitedForEachU (inc/dfs.hxx:19-25) with
+    ascending-dst adjacency."""
+    import sys
+
+    from leiden_communities_openmp_spark.operators.graphgen import block_circulant
+    from leiden_communities_openmp_spark.operators.transforms import dfs_preorder
+
+    e = block_circulant(spark, 256, 64)
+    got = [r["id"] for r in dfs_preorder(e, 0).orderBy("pos").collect()]
+
+    adj = {}
+    for r in e.collect():
+        adj.setdefault(r["src"], []).append(r["dst"])
+    for k in adj:
+        adj[k].sort()
+    sys.setrecursionlimit(10000)
+    vis, order = set(), []
+
+    def rec(u):
+        if u in vis:
+            return
+        vis.add(u)
+        order.append(u)
+        for v in adj.get(u, []):
+            rec(v)
+
+    rec(0)
+    assert got == order
+    assert got[0] == 0 and len(set(got)) == len(got)
