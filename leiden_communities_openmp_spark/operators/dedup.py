@@ -289,6 +289,92 @@ def cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
+                    nlist: int = 8, nprobe: int = 3, lloyd_iters: int = 3,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF (inverted-file) cosine ANN: coarse-quantize the corpus into
+    ``nlist`` cells with a few deterministic Lloyd iterations, then search
+    only each query's ``nprobe`` nearest cells → (query_id, neighbor_id,
+    cosine, rank).
+
+    Scale design: centroids are a tiny broadcast relation (nlist × dim);
+    assignment is one broadcast-join argmax over the corpus (no shuffle of
+    the vectors); the query fan-out is |queries| × nprobe joined against
+    cell-partitioned lists — the standard sub-linear ANN layout (FAISS-style
+    IVF-Flat) expressed as DataFrame ops. Deterministic: centroids
+    initialize from the ``nlist`` smallest vec_ids and Lloyd runs a fixed
+    iteration count with argmin(dist, centroid-id) tie-breaks.
+    """
+    v = embeddings.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("vec"))
+    norm = F.sqrt(_dot(F.col("vec"), F.col("vec")))
+    v = v.withColumn("unit", F.transform("vec", lambda x: x / norm)).drop("vec")
+
+    # deterministic seed centroids: the nlist smallest ids (unit-normalized)
+    cent = [(int(r["nid"]), list(r["unit"])) for r in
+            v.orderBy("nid").limit(nlist).collect()]
+
+    def cell_expr(cents):
+        best_c, best_s = None, None
+        for ci, cvec in enumerate(cents):
+            plane = F.array(*[F.lit(float(x)) for x in cvec[1]])
+            s = _dot(F.col("unit"), plane)
+            if best_c is None:
+                best_c, best_s = F.lit(ci), s
+            else:
+                cond = s > best_s   # strict >: ties keep the smaller cell id
+                best_c = F.when(cond, F.lit(ci)).otherwise(best_c)
+                best_s = F.when(cond, s).otherwise(best_s)
+        return best_c
+
+    assigned = None
+    for _ in range(lloyd_iters):
+        assigned = v.withColumn("cell", cell_expr(cent))
+        dim = len(cent[0][1])
+        means = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.element_at("unit", i + 1)).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        by_cell = {int(r["cell"]): [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        new_cent = []
+        for ci, old in enumerate(cent):
+            m = by_cell.get(ci, old[1])
+            n = sum(x * x for x in m) ** 0.5 or 1.0
+            new_cent.append((ci, [x / n for x in m]))
+        cent = new_cent
+    assigned = v.withColumn("cell", cell_expr(cent))
+
+    # each query probes its nprobe nearest cells
+    def probe_cells(cents, n):
+        scored = []
+        for ci, cvec in enumerate(cents):
+            plane = F.array(*[F.lit(float(x)) for x in cvec[1]])
+            scored.append(F.struct(_dot(F.col("unit"), plane).alias("s"),
+                                   F.lit(ci).alias("cell")))
+        arr = F.reverse(F.array_sort(F.array(*scored)))
+        return F.transform(F.slice(arr, 1, n), lambda st: st["cell"])
+
+    qs = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
+    qn = F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    qs = qs.withColumn("unit", F.transform("qv", lambda x: x / qn)).drop("qv")
+    qs = qs.select("query_id", "unit", F.explode(probe_cells(cent, nprobe)).alias("cell"))
+
+    cand = (
+        qs.join(assigned.select(F.col("nid").alias("neighbor_id"),
+                                F.col("unit").alias("nunit"), "cell"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("unit"), F.col("nunit")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 9).alias("cosine"), "rank")
+    )
+
+
 def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     planes: int = 4, seed: int = 42, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:

@@ -438,6 +438,14 @@ def q_lsh_cosine(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_ivf_cosine(spark, sf_dir):
+    """IVF-Flat cosine ANN (coarse quantizer + nprobe cell search)."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    out = dd.ivf_cosine_topk(e, q, k=5, nlist=8, nprobe=3)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def q_image_features(spark, sf_dir):
     from .operators.multimodal import gen_media_df, image_features
     return image_features(gen_media_df(spark, 64)).select(
@@ -493,6 +501,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_near": q_simhash_near,
     "lsh_cosine": q_lsh_cosine,
+    "ivf_cosine": q_ivf_cosine,
     "image_features": q_image_features,
 }
 

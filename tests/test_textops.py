@@ -162,3 +162,25 @@ def test_batch_updates(spark):
     assert {(r["src"], r["dst"]) for r in ti.collect()} == {(4, 5)}   # must not exist
     after = {(r["src"], r["dst"]) for r in apply_batch(e, td, ti).collect()}
     assert after == {(2, 3), (3, 4), (4, 5)}
+
+
+def test_ivf_cosine_recall(spark):
+    """IVF ANN recall vs brute force on a clustered synthetic corpus: every
+    query's true top-1 must be found (same-cluster vectors land in the same
+    coarse cell), and scores on found pairs are exact."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(64):
+        center = i % 4
+        base = [1.0 if d == center else 0.0 for d in range(8)]
+        vec = [b + rng.uniform(-0.05, 0.05) for b in base]
+        rows.append((i, vec))
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = d.filter(F.col("vec_id") < 4)
+    brute = {(r["query_id"], r["rank"]): r["neighbor_id"]
+             for r in dd.cosine_topk(d, q, k=1).collect()}
+    ivf = {(r["query_id"], r["rank"]): r["neighbor_id"]
+           for r in dd.ivf_cosine_topk(d, q, k=1, nlist=4, nprobe=2).collect()}
+    assert ivf == brute
