@@ -79,6 +79,22 @@ def main():
     extra["leiden_pages"] = {"modularity": round(rp.modularity, 6), "passes": rp.passes,
                              "iterations": rp.iterations}
 
+    # ---- rounds-strategy fallback witness (unbounded-state path) ----
+    def _leiden_rounds():
+        res = leiden_scale(spark, page_edges, LeidenOptions(max_passes=2),
+                           strategy="rounds", local_iters=6,
+                           driver_threshold=0, driver_vertex_threshold=0)
+        res_holder["rounds"] = res
+        return res.membership.count()
+
+    timed("leiden_rounds_fallback", _leiden_rounds)
+    rr = res_holder["rounds"]
+    extra["leiden_rounds_fallback"] = {
+        "modularity": round(rr.modularity, 6), "passes": rr.passes,
+        "iterations": rr.iterations,
+        "note": "pure-DataFrame strategy, no per-vertex driver state (>=1e9-vertex path)",
+    }
+
     # ---- Leiden on the lineitem-derived graph at the target SF ----
     li_edges = _lineitem_sym(spark, sf_dir).localCheckpoint(eager=True)
     n_li = li_edges.count()
