@@ -533,9 +533,17 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
     metrics: list[dict] = []
 
     t_setup = time.time()
+    # NOT persisted: the raw edge relation is scanned a handful of times
+    # (M, strategy probe, pass-1 vertex weights, pass-1 repartition, final
+    # modularity) and each scan is column-pruned off the caller's source
+    # (parquet / localCheckpoint). Caching it costs a full block-manager
+    # write — measurably the largest non-scaling chunk of the pass loop at
+    # bench scale — and at the 100 TB target the edge relation cannot be
+    # cached at all; the per-pass materialized `part_edges` is the real
+    # working set. Callers with expensive lineage should checkpoint first.
     edges0 = edges.select(
         F.col("src").cast("long"), F.col("dst").cast("long"),
-        F.col("w").cast("double")).persist()
+        F.col("w").cast("double"))
     M = float(edges0.agg(F.sum("w")).collect()[0][0] or 0.0) / 2.0  # A1 (main.cxx:61)
     metrics.append({"phase": "setup", "seconds": round(time.time() - t_setup, 3)})
     if M <= 0:
@@ -561,7 +569,6 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         t_q = time.time()
         q = modularity_df(edges0, ucom, M, R)
         metrics.append({"phase": "final_modularity", "seconds": round(time.time() - t_q, 3)})
-        edges0.unpersist()
         return LeidenRunResult(ucom, q, p, total_iters, M, metrics)
 
     sc = spark.sparkContext
@@ -875,7 +882,6 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
     t_q = time.time()
     q = modularity_df(edges0, ucom, M, R)
     metrics.append({"phase": "final_modularity", "seconds": round(time.time() - t_q, 3)})
-    edges0.unpersist()
     return LeidenRunResult(ucom, q, p, total_iters, M, metrics)
 
 

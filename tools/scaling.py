@@ -142,10 +142,29 @@ def main():
     n_rep = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     import os
+    # SPARK_GRAFT_SCALING_JOBS=leiden reruns one job and merges the result
+    # into the existing BENCH/scaling.json (the other sections are kept).
+    jobs = set(os.environ.get("SPARK_GRAFT_SCALING_JOBS", "leiden,minhash").split(","))
     cpu_lo, cpu_hi = (int(x) for x in os.environ.get(
         "SPARK_GRAFT_SCALING_CPUS", "2,8").split(","))
-    report = {"hardware_ceiling": hardware_ceiling(cpu_lo, cpu_hi)}
+    out = REPO / "BENCH" / "scaling.json"
+    report = json.loads(out.read_text()) if out.exists() else {}
+    report["hardware_ceiling"] = hardware_ceiling(cpu_lo, cpu_hi)
+    if "leiden" not in jobs:
+        _write(report, out)
+    else:
+        _run_leiden(report, cpu_lo, cpu_hi, n_vertices, reps, out)
+    if "minhash" in jobs:
+        _run_minhash(report, cpu_lo, cpu_hi, n_rep, reps, out)
+    print(json.dumps(report, indent=1))
 
+
+def _write(report, out):
+    out.parent.mkdir(exist_ok=True)
+    out.write_text(json.dumps(report, indent=1))
+
+
+def _run_leiden(report, cpu_lo, cpu_hi, n_vertices, reps, out):
     l8 = run_best("leiden", cpu_lo, n_vertices, reps)
     l32 = run_best("leiden", cpu_hi, n_vertices, reps)
     assert l8["labels_md5"] == l32["labels_md5"], "parallelism changed the result!"
@@ -161,7 +180,10 @@ def main():
             (l32["edges_per_sec_per_superstep"] / l8["edges_per_sec_per_superstep"]) / (cpu_hi / cpu_lo), 3)
         if l8.get("edges_per_sec_per_superstep") and l32.get("edges_per_sec_per_superstep") else None,
     }
+    _write(report, out)
 
+
+def _run_minhash(report, cpu_lo, cpu_hi, n_rep, reps, out):
     i8 = run_best("minhash", cpu_lo, n_rep, reps)
     i32 = run_best("minhash", cpu_hi, n_rep, reps)
     for leg in (i8, i32):
@@ -170,11 +192,7 @@ def main():
         f"local{cpu_lo}": i8, f"local{cpu_hi}": i32,
         "eff": round((i32["docs_per_sec"] / i8["docs_per_sec"]) / (cpu_hi / cpu_lo), 3),
     }
-
-    print(json.dumps(report, indent=1))
-    out = REPO / "BENCH" / "scaling.json"
-    out.parent.mkdir(exist_ok=True)
-    out.write_text(json.dumps(report, indent=1))
+    _write(report, out)
 
 
 if __name__ == "__main__":
