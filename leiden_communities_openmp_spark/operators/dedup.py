@@ -55,11 +55,16 @@ def dedup_keep_first(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8, n: int = 3,
-                        max_df: int | None = 1000,
+                        max_df: int | None = None,
                         id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact word-n-gram Jaccard similarity for all pairs sharing >= 1
     *discriminative* shingle → (a, b, jaccard) with a < b and
     jaccard >= threshold.
+
+    ``max_df=None`` (default) preserves exact semantics: every pair sharing
+    any shingle is a candidate. Scale-sensitive callers OPT IN to the
+    hot-shingle cap (e.g. ``max_df=1000``) — required at web scale, where
+    one boilerplate shingle shared by 10⁶ docs makes 10¹² candidate rows.
 
     Plan: shingle-set per doc → explode → inverted index → pair generation
     within posting lists → |A∩B| by count, |A∪B| = |A|+|B|−|A∩B|.

@@ -175,6 +175,24 @@ _BROADCAST_VERTEX_LIMIT = 2_000_000   # rows; above this a per-task hash
                                       # build costs more than a shuffle join
 
 
+def _broadcast_row_limit(spark: SparkSession, bytes_per_row: int = 48) -> int:
+    """Row cutoff for force-broadcasting a 2-long-column relation, derived
+    from spark.sql.autoBroadcastJoinThreshold (≈48B/row serialized: 16B data
+    + object/container overhead). Forcing far past the session threshold
+    ships 100MB+ through the driver per round — worse than the shuffle join
+    it replaces."""
+    try:
+        raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "33554432")
+        mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+        raw = raw.strip().lower().removesuffix("b")
+        thr = int(raw[:-1]) * mult[raw[-1]] if raw[-1:] in mult else int(raw)
+    except Exception:
+        thr = 32 << 20
+    if thr <= 0:                      # auto-broadcast disabled entirely
+        return 0
+    return max(thr // bytes_per_row, 100_000)
+
+
 def _maybe_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
     """Broadcast-hint small relabel maps; past the limit let AQE plan the
     join (sort-merge / shuffled-hash with skew handling)."""
@@ -204,9 +222,14 @@ def _move_round(edges: DataFrame, memb: DataFrame, vtot: DataFrame, ctot: DataFr
     ``direction``: -1/+1 restricts moves to strictly smaller/larger target
     community ids — alternating the sign per round makes synchronous
     two-vertex swap cycles impossible (a swap needs one down- AND one
-    up-move in the same round). ``broadcast_ctot=False`` lets AQE plan the
-    ctot joins instead of forcing a broadcast — required past ~10⁸
-    communities where the broadcast itself is the ceiling."""
+    up-move in the same round). With direction != 0, a vertex whose ONLY
+    positive candidates are direction-blocked is still emitted, with
+    ``gain`` NULL (and community_new = its best blocked target) — callers
+    filter those out of the applied moves but keep them in the affected
+    seed so the move is retried when the direction flips.
+    ``broadcast_ctot=False`` lets AQE plan the ctot joins instead of
+    forcing a broadcast — required past ~10⁸ communities where the
+    broadcast itself is the ceiling."""
     ms = memb.select(F.col("id").alias("src"), F.col("community").alias("d"))
     md = memb.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
 
@@ -246,13 +269,21 @@ def _move_round(edges: DataFrame, memb: DataFrame, vtot: DataFrame, ctot: DataFr
         .withColumn("gain", gain).filter(F.col("gain") > 0)
     )
     if direction > 0:
-        scored = scored.filter(F.col("cd") > F.col("d"))
+        allowed = F.col("cd") > F.col("d")
     elif direction < 0:
-        scored = scored.filter(F.col("cd") < F.col("d"))
-    return scored.groupBy("src").agg(
-        F.expr("max_by(cd, struct(gain, -cd))").alias("community_new"),
-        F.max("gain").alias("gain"),
-    ).select(F.col("src").alias("id"), "community_new", "gain")
+        allowed = F.col("cd") < F.col("d")
+    else:
+        allowed = F.lit(True)
+    # one aggregation serves both outputs: allowed candidates outrank
+    # blocked ones in the argmax, and gain aggregates over allowed only —
+    # so gain NULL ⟺ every positive candidate was direction-blocked;
+    # gain_blocked (best blocked gain) keeps the pending improvement
+    # visible to the caller's convergence measure
+    return scored.withColumn("allowed", allowed).groupBy("src").agg(
+        F.expr("max_by(cd, struct(allowed, gain, -cd))").alias("community_new"),
+        F.max(F.when(F.col("allowed"), F.col("gain"))).alias("gain"),
+        F.max(F.when(~F.col("allowed"), F.col("gain"))).alias("gain_blocked"),
+    ).select(F.col("src").alias("id"), "community_new", "gain", "gain_blocked")
 
 
 def _driver_finish(spark: SparkSession, g: DataFrame, R: float, E: float,
@@ -378,64 +409,94 @@ def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOpti
         ctot = vt.select(F.col("id").alias("community"), F.col("vtot").alias("ctot"))
 
         # red-black rounds: each round only one deterministic hash-color
-        # class may move against the frozen complement — the standard
-        # remedy for bulk-synchronous label oscillation (a collective
-        # period-2 cycle needs BOTH endpoints re-deciding in lockstep;
-        # with colors every adjacent decision pair is split across rounds
-        # with one side updated — Jacobi → red-black Gauss-Seidel).
+        # class may move against the frozen complement. Colors split
+        # CROSS-color decision pairs across rounds; a random 2-coloring
+        # still leaves ~half of adjacent pairs same-color, so a move
+        # DIRECTION (only smaller / only larger target community ids,
+        # alternating each full color cycle) handles the rest: a
+        # synchronous two-vertex swap needs one down- AND one up-move in
+        # the same round, which the direction constraint makes impossible.
+        # Direction-blocked positive movers are re-seeded (gain-NULL rows
+        # from _move_round) so the move is retried when the sign flips.
         colors = [
             _materialize(vt.select("id").filter(
                 F.pmod(F.xxhash64("id"), F.lit(2)) == c))
             for c in (0, 1)
         ]
         move_iters = 0
-        el_prev = float("inf")
         seed_nbrs = None              # affected-set pruning (L6) across rounds
-        recent_movers: list[DataFrame] = []   # last 2 rounds (one color cycle)
+        recent: list[DataFrame] = []  # last 4 rounds' movers+blocked (one
+                                      # full color × direction cycle)
+        cached: list[DataFrame] = []  # persisted move outputs pending release
+        recent_els: list[float] = []
+        recent_nm: list[int] = []
         for rnd in range(local_iters):
             t_rnd = time.time()
+            direction = -1 if (rnd // 2) % 2 == 0 else 1
             aff = colors[rnd % 2]
             if seed_nbrs is not None:
                 aff = aff.join(seed_nbrs, "id", "left_semi")
-            moves = _materialize(_move_round(
-                g, memb, vt, ctot, M, R, aff=aff, broadcast_ctot=not big))
+            # one action materializes the move job AND collects the
+            # convergence stats (persist + agg) — applied movers have a
+            # gain, direction-blocked positive movers carry gain NULL
+            moves = _move_round(g, memb, vt, ctot, M, R, aff=aff,
+                                direction=direction,
+                                broadcast_ctot=not big).persist()
+            row = moves.agg(
+                F.count("gain").alias("n"),
+                F.count("*").alias("n_all"),
+                F.coalesce(F.sum(F.coalesce("gain", "gain_blocked")),
+                           F.lit(0.0)).alias("el")).collect()[0]
             t_mv = time.time() - t_rnd
             move_iters += 1
-            row = moves.agg(F.count("*").alias("n"),
-                            F.coalesce(F.sum("gain"), F.lit(0.0)).alias("el")).collect()[0]
-            nm, el = int(row["n"]), float(row["el"])
+            nm, n_all, el = int(row["n"]), int(row["n_all"]), float(row["el"])
+            cached.append(moves)
             if verbose:
-                print(f"[rounds] pass={p+1} rnd={rnd} movers={nm} el={el:.5f} "
-                      f"(move_job={t_mv:.1f}s)", flush=True)
-            recent_movers = (recent_movers + [moves.select("id")])[-2:]
+                print(f"[rounds] pass={p+1} rnd={rnd} dir={direction} movers={nm} "
+                      f"blocked={n_all - nm} el={el:.5f} (move_job={t_mv:.1f}s)",
+                      flush=True)
+            recent = (recent + [moves.select("id")])[-4:]
             if nm:
                 # stats-reset leaves don't auto-broadcast — hint explicitly
-                # while the mover set is broadcastable (it usually is after
-                # round 0; a huge early set falls back to a shuffle join)
-                mv_sel = moves.select("id", "community_new")
-                if nm <= 5_000_000:
+                # while the mover set fits the session's broadcast budget
+                # (~48B/row serialized through the driver + torrent); a huge
+                # early set falls back to a shuffle join, which is the whole
+                # point of this no-driver-state strategy
+                mv_sel = moves.filter(F.col("gain").isNotNull()) \
+                    .select("id", "community_new")
+                if nm <= _broadcast_row_limit(spark):
                     mv_sel = F.broadcast(mv_sel)
                 memb = _materialize(
                     memb.join(mv_sel, "id", "left")
                     .select("id", F.coalesce("community_new", "community").alias("community")))
                 # materialized: the next round's plan reads ctot twice
                 ctot = _materialize(community_weights(memb, vt))
-            # affected-set pruning once the frontier is small: only movers
-            # of the last TWO rounds (one full color cycle) and their
-            # neighbors get rescanned — a vertex activated by a round-r
-            # move stays scannable through both color phases
-            if nm < 0.02 * gn and len(recent_movers) == 2:
-                seed = recent_movers[0].unionByName(recent_movers[1])
+            # affected-set pruning once the frontier is small: rescan only
+            # the last full cycle's movers + direction-blocked vertices and
+            # their neighbors — a vertex activated (or blocked) in round r
+            # stays scannable through both color phases and both direction
+            # signs (4 rounds), so no positive move is ever dropped
+            recent_nm = (recent_nm + [n_all])[-4:]
+            if max(recent_nm) < 0.02 * gn and len(recent) == 4:
+                seed = recent[0]
+                for r_ in recent[1:]:
+                    seed = seed.unionByName(r_)
                 nb = g.join(seed.select(F.col("id").alias("dst")), "dst",
                             "left_semi").select(F.col("src").alias("id"))
                 seed_nbrs = _materialize(seed.unionByName(nb).distinct())
             else:
                 seed_nbrs = None
-            # a color round sees half the move space: converged only when a
-            # FULL cycle (both colors) stays under tolerance
-            if (el <= E and el_prev <= E) and rnd >= 1:
+            while len(cached) > 4:    # keep the seed window computable
+                cached.pop(0).unpersist()
+            # a (color, direction) round sees a quarter of the move space:
+            # converged only when a FULL cycle (4 rounds — both colors,
+            # both directions) stays under tolerance; el counts blocked
+            # candidates' gains, so pending blocked moves delay convergence
+            recent_els.append(el)
+            if rnd >= 3 and max(recent_els[-4:]) <= E:
                 break
-            el_prev = el
+        for c_ in cached:
+            c_.unpersist()
 
         t_ref0 = time.time()
         if refine:

@@ -80,7 +80,10 @@ def dfs_preorder(edges: DataFrame, source: int) -> DataFrame:
         parts = [p for p in pdfs]
         adj: dict[int, list[int]] = {}
         if parts:
-            rows = pd.concat(parts, ignore_index=True)
+            # sort HERE, not upstream: row order delivered into a coalesced
+            # single task is an implementation detail, not a contract — the
+            # visit order must not depend on it
+            rows = pd.concat(parts, ignore_index=True).sort_values(["src", "dst"])
             for s, d in zip(rows["src"].tolist(), rows["dst"].tolist()):
                 adj.setdefault(int(s), []).append(int(d))
         visited = {src_v}
@@ -101,7 +104,7 @@ def dfs_preorder(edges: DataFrame, source: int) -> DataFrame:
                             "pos": pd.Series(range(len(order)), dtype="int32")})
 
     return (
-        edges.select("src", "dst").sort("src", "dst").coalesce(1)
+        edges.select("src", "dst").coalesce(1)
         .mapInPandas(run, "id long, pos int")
     )
 

@@ -368,8 +368,9 @@ def q_exact_dupes(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact word-trigram Jaccard pairs >= 0.5."""
-    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, n=3)
+    """Exact word-trigram Jaccard pairs >= 0.5 with the opt-in hot-shingle
+    candidate cap (the oracle SQL mirrors max_df=1000)."""
+    return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, n=3, max_df=1000)
 
 
 def q_cosine_topk(spark, sf_dir):
