@@ -302,69 +302,74 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     only each query's ``nprobe`` nearest cells → (query_id, neighbor_id,
     cosine, rank).
 
-    Scale design: centroids are a tiny broadcast relation (nlist × dim);
-    assignment is one broadcast-join argmax over the corpus (no shuffle of
-    the vectors); the query fan-out is |queries| × nprobe joined against
-    cell-partitioned lists — the standard sub-linear ANN layout (FAISS-style
-    IVF-Flat) expressed as DataFrame ops. Deterministic: centroids
-    initialize from the ``nlist`` smallest vec_ids and Lloyd runs a fixed
-    iteration count with argmin(dist, centroid-id) tie-breaks.
+    Scale design: centroids are a tiny broadcast DataFrame (nlist × dim);
+    assignment is one broadcast-join + max_by argmax over the corpus (no
+    shuffle of the vectors, plan size O(1) in nlist — supports the 10³-10⁴
+    cells a 100 TB corpus needs); the query fan-out is |queries| × nprobe
+    joined against cell-partitioned lists — the standard sub-linear ANN
+    layout (FAISS-style IVF-Flat) expressed as DataFrame ops. Lloyd means
+    collect only nlist × dim floats per iteration. Deterministic: centroids
+    initialize from the ``nlist`` smallest vec_ids; score ties keep the
+    smaller cell id (probe order: larger cell first, matching array_sort
+    descending on (score, cell)).
     """
+    spark = embeddings.sparkSession
     v = embeddings.select(
         F.col(id_col).alias("nid"), F.col(vec_col).cast("array<double>").alias("vec"))
     norm = F.sqrt(_dot(F.col("vec"), F.col("vec")))
     v = v.withColumn("unit", F.transform("vec", lambda x: x / norm)).drop("vec")
 
     # deterministic seed centroids: the nlist smallest ids (unit-normalized)
-    cent = [(int(r["nid"]), list(r["unit"])) for r in
-            v.orderBy("nid").limit(nlist).collect()]
+    cent = [list(r["unit"]) for r in v.orderBy("nid").limit(nlist).collect()]
 
-    def cell_expr(cents):
-        best_c, best_s = None, None
-        for ci, cvec in enumerate(cents):
-            plane = F.array(*[F.lit(float(x)) for x in cvec[1]])
-            s = _dot(F.col("unit"), plane)
-            if best_c is None:
-                best_c, best_s = F.lit(ci), s
-            else:
-                cond = s > best_s   # strict >: ties keep the smaller cell id
-                best_c = F.when(cond, F.lit(ci)).otherwise(best_c)
-                best_s = F.when(cond, s).otherwise(best_s)
-        return best_c
+    def cent_df(cents):
+        return spark.createDataFrame(
+            [(ci, cv) for ci, cv in enumerate(cents)], "cell int, cvec array<double>")
 
-    assigned = None
+    def assign(cents_df):
+        # broadcast-join argmax: score every (vector, centroid) pair map-side,
+        # then one partial-aggregating max_by per vector. Ties (equal score)
+        # keep the SMALLER cell id via max of (score, -cell).
+        scored = v.join(F.broadcast(cents_df), how="cross").select(
+            "nid", "unit",
+            F.struct(_dot(F.col("unit"), F.col("cvec")).alias("s"),
+                     (-F.col("cell")).alias("negcell")).alias("sc"))
+        return (scored.groupBy("nid")
+                .agg(F.first("unit").alias("unit"), F.max("sc").alias("best"))
+                .select("nid", "unit", (-F.col("best.negcell")).cast("int").alias("cell")))
+
+    dim = len(cent[0])
     for _ in range(lloyd_iters):
-        assigned = v.withColumn("cell", cell_expr(cent))
-        dim = len(cent[0][1])
         means = (
-            assigned.groupBy("cell")
+            assign(cent_df(cent)).groupBy("cell")
             .agg(*[F.avg(F.element_at("unit", i + 1)).alias(f"m{i}") for i in range(dim)])
             .collect()
         )
         by_cell = {int(r["cell"]): [float(r[f"m{i}"]) for i in range(dim)] for r in means}
         new_cent = []
         for ci, old in enumerate(cent):
-            m = by_cell.get(ci, old[1])
+            m = by_cell.get(ci, old)
             n = sum(x * x for x in m) ** 0.5 or 1.0
-            new_cent.append((ci, [x / n for x in m]))
+            new_cent.append([x / n for x in m])
         cent = new_cent
-    assigned = v.withColumn("cell", cell_expr(cent))
+    assigned = assign(cent_df(cent))
 
-    # each query probes its nprobe nearest cells
-    def probe_cells(cents, n):
-        scored = []
-        for ci, cvec in enumerate(cents):
-            plane = F.array(*[F.lit(float(x)) for x in cvec[1]])
-            scored.append(F.struct(_dot(F.col("unit"), plane).alias("s"),
-                                   F.lit(ci).alias("cell")))
-        arr = F.reverse(F.array_sort(F.array(*scored)))
-        return F.transform(F.slice(arr, 1, n), lambda st: st["cell"])
-
+    # each query probes its nprobe nearest cells: broadcast-join queries ×
+    # centroids, rank per query by (score desc, cell desc) — identical order
+    # to a descending array_sort on (score, cell) structs
     qs = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv"))
     qn = F.sqrt(_dot(F.col("qv"), F.col("qv")))
     qs = qs.withColumn("unit", F.transform("qv", lambda x: x / qn)).drop("qv")
-    qs = qs.select("query_id", "unit", F.explode(probe_cells(cent, nprobe)).alias("cell"))
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc(F.col("ps")), F.desc("cell"))
+    qs = (
+        qs.join(F.broadcast(cent_df(cent)), how="cross")
+        .withColumn("ps", _dot(F.col("unit"), F.col("cvec")))
+        .withColumn("prank", F.row_number().over(pw))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "unit", "cell")
+    )
 
     cand = (
         qs.join(assigned.select(F.col("nid").alias("neighbor_id"),
