@@ -566,7 +566,7 @@ def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOpti
 def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions | None = None,
                  refine: bool = True, checkpointer=None, verbose: bool = False,
                  num_partitions: int = 32, local_iters: int = 20,
-                 driver_threshold: int = 50000,
+                 driver_threshold: int = 250000,
                  driver_vertex_threshold: int = 20000,
                  frontier_threshold: float = 0.0,
                  strategy: str = "auto",
@@ -611,10 +611,12 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         empty = spark.createDataFrame([], "id long, community long")
         return LeidenRunResult(empty, 0.0, 0, 0, 0.0, [])
 
+    v_estimate: int | None = None
     if strategy == "auto":
         # one cheap HLL aggregation (no distinct shuffle) decides the path
         n_est = int(edges0.agg(F.approx_count_distinct("src").alias("n")).collect()[0]["n"])
         strategy = "rounds" if n_est > rounds_vertex_threshold else "sweep"
+        v_estimate = n_est
         metrics.append({"phase": "strategy", "chosen": strategy, "v_estimate": n_est})
     if strategy == "rounds":
         start = (0, None, None, None, 0)
@@ -648,7 +650,18 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             if verbose:
                 print(f"[leiden_scale] resumed at pass={p}")
 
-    n_vertices: int | None = None
+    # seed the pass-1 routing decision with the strategy probe's HLL vertex
+    # estimate (deterministic for a given input): a small-vertex graph takes
+    # the driver kernel IMMEDIATELY instead of paying a full distributed
+    # pass's fixed costs (broadcast + mapInPandas machinery) on a graph the
+    # kernel finishes in milliseconds — the round-2 leiden_pages regression
+    # (62,902 edges > driver_threshold but only ~8k vertices; 33s for what
+    # the kernel does in <1s). HLL ±2% error only moves the routing of
+    # borderline graphs between two correct paths. driver_threshold=0 is
+    # the "force distributed" contract (tests/benchmarks) — honor it by
+    # not seeding.
+    n_vertices: int | None = (
+        v_estimate if p == 0 and driver_threshold > 0 else None)
     carried: tuple | None = None        # (vid, vtot) for passes ≥ 2
     if checkpointer is not None and p > 0:
         # restore the strategy-selection state so a resumed run takes the
