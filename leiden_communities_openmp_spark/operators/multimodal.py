@@ -29,18 +29,23 @@ IMAGE_FEATURES_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = "media_id long, frame_idx int, frame binary"
 
 
-try:  # real codec path when the environment provides it (feature-gated;
-    # this container ships no imaging libs, so tests run the fake)
+try:  # preferred codec when the environment provides it (feature-gated)
     from PIL import Image as _PILImage  # type: ignore
 except ImportError:
     _PILImage = None
 
+from ..functions import png as _png  # vendored from-scratch PNG codec
+
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Image decode behind a feature gate: PIL grayscale decode when the
-    library is importable, else a deterministic fake (bytes → pseudo-pixel
-    grid, 16x16 grayscale) so the Spark-side plumbing — schema, Arrow batch
-    shape, UDF signature — is exercised end-to-end either way."""
+    """Image decode behind a feature gate, tried in order:
+
+    1. PIL (any format) when the library is importable;
+    2. the vendored from-scratch PNG codec (functions/png.py) for PNG
+       payloads — a REAL decode that runs in this container;
+    3. a deterministic fake (bytes → 16×16 pseudo-pixel grid) for opaque
+       fixture payloads, so the Spark-side plumbing — schema, Arrow batch
+       shape, UDF signature — is exercised end-to-end regardless."""
     if payload is None:
         raise NotImplementedError("image decode requires a payload")
     if _PILImage is not None:
@@ -49,8 +54,10 @@ def _decode_image(payload: bytes) -> np.ndarray:
             with _PILImage.open(io.BytesIO(payload)) as im:
                 return np.asarray(im.convert("L"), dtype=np.uint8)
         except Exception:
-            pass  # not a decodable image (synthetic fixture) → fake path
-    arr = np.frombuffer(payload[:256].ljust(256, b"\0"), dtype=np.uint8)
+            pass  # not PIL-decodable → try the vendored codec / fake path
+    if _png.is_png(payload):
+        return _png.to_grayscale(_png.decode_png(payload))
+    arr = np.frombuffer(bytes(payload[:256]).ljust(256, b"\0"), dtype=np.uint8)
     return arr.reshape(16, 16)
 
 
@@ -75,13 +82,30 @@ def image_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 
 def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB resize: plumbing only — passes payload through and rewrites
-    metadata (real path: vectorized decode-resize-encode per Arrow batch)."""
-    return (
-        media.filter(F.col("kind") == "image")
-        .withColumn("width", F.lit(width))
-        .withColumn("height", F.lit(height))
-    )
+    """Decode → nearest-neighbor resize → re-encode per Arrow batch.
+
+    PNG payloads (and anything PIL can open, when present) go through the
+    real chain and come back as greyscale PNGs of the requested size;
+    opaque fixture payloads take the deterministic fake decode and are
+    re-encoded the same way, so the output column is uniformly valid PNG.
+    Executor-side mapInPandas — no driver hop, batch shape set by
+    spark.sql.execution.arrow.maxRecordsPerBatch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.png import encode_png_gray, resize_nearest
+        for b in batches:
+            payloads = [
+                encode_png_gray(resize_nearest(_decode_image(p), width, height))
+                for p in b["payload"]
+            ]
+            out = b.copy()
+            out["payload"] = payloads
+            out["mime"] = "image/png"
+            out["width"] = np.int32(width)
+            out["height"] = np.int32(height)
+            yield out
+
+    return media.filter(F.col("kind") == "image").mapInPandas(run, MEDIA_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
@@ -100,6 +124,25 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.filter(F.col("kind") == "video").mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+def gen_png_media_df(spark, n: int = 32) -> DataFrame:
+    """Deterministic REAL-PNG media table: gradient + checkerboard patterns
+    encoded with the vendored codec, so image_features/resize_images
+    exercise the actual decode path in this container (no PIL needed)."""
+    from ..functions.png import encode_png_gray
+
+    rows = []
+    for i in range(n):
+        h, w = 8 + (i % 4) * 4, 8 + (i % 3) * 8
+        yy, xx = np.mgrid[0:h, 0:w]
+        if i % 2 == 0:
+            img = ((yy * 17 + xx * 31 + i) % 256).astype(np.uint8)      # gradient
+        else:
+            img = (((yy // 2 + xx // 2 + i) % 2) * 255).astype(np.uint8)  # checker
+        rows.append((i, "image", bytearray(encode_png_gray(img)), "image/png",
+                     int(w), int(h), 0))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def gen_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:

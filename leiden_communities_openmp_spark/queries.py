@@ -491,6 +491,15 @@ def q_image_features(spark, sf_dir):
         "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma"))
 
 
+def q_image_features_png(spark, sf_dir):
+    """REAL decode chain: true PNG payloads (vendored from-scratch codec,
+    functions/png.py) through the same Arrow feature extraction — no fake
+    path involved."""
+    from .operators.multimodal import gen_png_media_df, image_features
+    return image_features(gen_png_media_df(spark, 32)).select(
+        "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma"))
+
+
 QUERIES = {
     "edge_dedup": q_edge_dedup,
     "symmetricize": q_symmetricize,
@@ -544,6 +553,7 @@ QUERIES = {
     "lsh_cosine": q_lsh_cosine,
     "ivf_cosine": q_ivf_cosine,
     "image_features": q_image_features,
+    "image_features_png": q_image_features_png,
 }
 
 
@@ -817,6 +827,21 @@ ORACLES: dict[str, str] = {
         "ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM scored) "
         "SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, CAST(rn AS INT) AS rank "
         "FROM ranked WHERE rn <= 5"
+    ),
+    # closed-form oracle for the REAL PNG decode chain: gen_png_media_df's
+    # pixel patterns are pure arithmetic, so DuckDB recomputes each image's
+    # mean luminance from math alone — a value mismatch means the vendored
+    # encoder/decoder round-trip (functions/png.py) corrupted pixels
+    "image_features_png": (
+        "WITH m AS (SELECT i, 8 + (i % 3) * 8 AS w, 8 + (i % 4) * 4 AS h "
+        "FROM range(32) t(i)), "
+        "px AS (SELECT m.i, m.w, m.h, "
+        "CASE WHEN m.i % 2 = 0 THEN (y.y * 17 + x.x * 31 + m.i) % 256 "
+        "ELSE ((y.y // 2 + x.x // 2 + m.i) % 2) * 255 END AS v "
+        "FROM m, range(32) y(y), range(32) x(x) WHERE y.y < m.h AND x.x < m.w) "
+        "SELECT CAST(i AS BIGINT) AS media_id, CAST(w AS INT) AS width, "
+        "CAST(h AS INT) AS height, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_luma "
+        "FROM px GROUP BY i, w, h"
     ),
 }
 

@@ -27,7 +27,11 @@ spark.range(100000).repartition(64).mapInPandas(lambda it: it, "id long").count(
 t0 = time.time()
 res = leiden_scale(spark, e, LeidenOptions(), num_partitions=64)
 dt = time.time() - t0
-print("TOTAL", json.dumps({"cpus": cpus, "edges": n_edges, "seconds": round(dt, 3),
-                           "passes": res.passes, "modularity": round(res.modularity, 9)}))
-print("METRICS", json.dumps(res.metrics, indent=1))
+report = {"total": {"cpus": cpus, "edges": n_edges, "seconds": round(dt, 3),
+                    "passes": res.passes, "modularity": round(res.modularity, 9)},
+          "metrics": res.metrics}
+out = sys.argv[3] if len(sys.argv) > 3 else f"/tmp/profile_{cpus}.json"
+with open(out, "w") as f:
+    json.dump(report, f, indent=1)
+print("WROTE", out)
 spark.stop()
