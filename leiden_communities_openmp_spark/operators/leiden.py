@@ -499,33 +499,53 @@ def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOpti
             c_.unpersist()
 
         t_ref0 = time.time()
+        refine_rounds_done = 0
         if refine:
-            # The reference's refine is a sequential gain-constrained sweep
-            # whose chain-forming acceptance (inc/leiden.hxx:588-597) has no
-            # efficient bulk-synchronous equivalent: synchronous singleton
-            # star-merging advances one BFS hop per round, so ring-like
-            # communities need O(diameter) expensive rounds. At unbounded
-            # scale we instead compute refinement as CONNECTIVITY REPAIR —
-            # each refined community is one connected component of a
-            # local-move community (components of the bound-restricted edge
-            # subgraph, large-star/small-star: O(log n) shuffle rounds).
-            # This is the coarsest refinement that restores the invariant
-            # the refine phase exists for (zero internally-disconnected
-            # communities, README.md:19); labels stay vertex-anchored (min
-            # member id). Documented deviation: gain-based sub-splitting
-            # beyond connectivity is the sweep/kernel paths' job.
-            from .companions import connected_components as _cc
-            bs = memb.select(F.col("id").alias("src"), F.col("community").alias("cs"))
-            bd = memb.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
-            intra = (
-                g.join(bs, "src").join(bd, "dst")
-                .filter(F.col("cs") == F.col("cd"))
-                .select("src", "dst")
-            )
-            cc = _cc(intra)   # (id, component = min member id), edge-covered vertices
-            memb = _materialize(
-                memb.join(cc, "id", "left")
-                .select("id", F.coalesce(F.col("component"), F.col("id")).alias("community")))
+            # Gain-based refinement (inc/leiden.hxx:1259-1268) as bounded
+            # bulk-synchronous rounds: re-init every vertex as a singleton,
+            # then a few constrained move rounds — targets must share the
+            # local-move community (bound), sources must still be singletons
+            # (inc/leiden.hxx:590), and a synchronous move u→c is accepted
+            # only if anchor community c emitted no allowed move of its own
+            # this round (STAR acceptance). Every accepted mover has an edge
+            # into its target community (vcout > 0) and anchors never leave,
+            # so each refined community is connected BY CONSTRUCTION — the
+            # invariant the refine phase exists for (README.md:19) holds
+            # without a separate connectivity-repair CC pass. Alternating
+            # the direction sign breaks mutual-preference deadlocks (u→v
+            # and v→u both star-rejected forever): with direction fixed,
+            # exactly one side is allowed to move. Sequential chain-forming
+            # acceptance (inc/leiden.hxx:588-597) remains the sweep/kernel
+            # paths' job; three rounds capture star+chain merges to depth 3,
+            # and unmerged singletons are re-examined next pass.
+            bound_df = memb.select("id", F.col("community").alias("bound"))
+            memb_r = _materialize(vt.select("id", F.col("id").alias("community")))
+            ctot_r = vt.select(F.col("id").alias("community"), F.col("vtot").alias("ctot"))
+            for rr in range(3):
+                rdir = -1 if rr % 2 == 0 else 1
+                sing = memb_r.filter(F.col("id") == F.col("community")).select("id")
+                mv = _move_round(g, memb_r, vt, ctot_r, M, R, aff=sing,
+                                 bound=bound_df, refine=True, direction=rdir,
+                                 broadcast_ctot=not big).persist()
+                movers = mv.filter(F.col("gain").isNotNull())
+                # star acceptance: targets of accepted moves must be anchors
+                # that are not themselves moving this round
+                acc = movers.join(
+                    movers.select(F.col("id").alias("community_new")).distinct(),
+                    "community_new", "left_anti").select("id", "community_new")
+                n_acc = acc.count()
+                refine_rounds_done += 1
+                if n_acc == 0:
+                    mv.unpersist()
+                    break
+                acc_sel = (F.broadcast(acc)
+                           if n_acc <= _broadcast_row_limit(spark) else acc)
+                memb_r = _materialize(
+                    memb_r.join(acc_sel, "id", "left")
+                    .select("id", F.coalesce("community_new", "community").alias("community")))
+                ctot_r = _materialize(community_weights(memb_r, vt))
+                mv.unpersist()
+            memb = memb_r
         t_ref = time.time() - t_ref0
 
         total_iters += max(move_iters, 1)
@@ -538,6 +558,7 @@ def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOpti
         rec = {"pass": p, "strategy": "rounds", "move_iterations": move_iters,
                "vertices": gn, "communities": cn, "edges": int(n_edges),
                "tolerance": E, "refine_seconds": round(t_ref, 3),
+               "refine_rounds": refine_rounds_done,
                "pass_seconds": round(time.time() - t0, 3)}
         metrics.append(rec)
         if verbose:

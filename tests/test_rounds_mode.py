@@ -43,8 +43,9 @@ def test_rounds_quality_parity_and_connectivity(spark, graph):
     assert rounds.membership.count() == 128
     # the synchronous red-black argmax settles at a slightly coarser local
     # optimum than the Gauss-Seidel sweep (no intra-round chain formation);
-    # the fallback's contract is >=90% of sweep quality + all invariants
-    assert rounds.modularity >= 0.9 * sweep.modularity
+    # with gain-based star-acceptance refinement the fallback holds >=97%
+    # of sweep quality (measured 1.000 here, 0.995 on planted_hard 2k)
+    assert rounds.modularity >= 0.97 * sweep.modularity
     disc = agg.disconnected_communities(graph, rounds.membership).collect()[0]
     assert disc["disconnected"] == 0
     strategies = {m.get("strategy") for m in rounds.metrics if "strategy" in m}
