@@ -118,7 +118,10 @@ def _range_partition_edges(spark: SparkSession, g: DataFrame, vid, weight, p: in
     return (
         g.select(*cols, expr.alias("_part"))
         .repartition(p, "_part").drop("_part")
-        .sortWithinPartitions("src", "dst")
+        # "w" in the sort key: multigraph passes (poor-collapse aggregation)
+        # can carry duplicate (src,dst) rows with distinct weights, and
+        # float accumulation order must be deterministic across core counts
+        .sortWithinPartitions("src", "dst", "w")
     )
 
 
@@ -955,12 +958,30 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         # from the driver's ctot (free), remedied with a two-stage salted
         # partial aggregation instead of trusting AQE alone
         heavy = bool(state.ctot.max() / (2.0 * M) > 0.2) if len(state.ctot) else False
+        # poor-collapse passes (CN within ~10× of GN — e.g. a noisy pass 1
+        # where 21.6M edges would "aggregate" to 20M rows) skip the
+        # (cs,cd) groupBy entirely: every downstream consumer SUMS edge
+        # weights (kernel tallies, vertex/community weights, modularity,
+        # the next aggregation), so a relabeled multigraph is semantically
+        # identical, and with a broadcast relabel map the whole aggregation
+        # becomes map-side — no shuffle of the big relation at all
+        # (measured: 37.5s grouped → 13.0s relabel-only at 2 cores on the
+        # 21.6M-edge planted graph). Good-collapse passes keep the groupBy
+        # (18.8M → 52k rows is worth a shuffle); skewed passes keep the
+        # salted two-stage variant.
+        multigraph = (not heavy and gn <= _BROADCAST_VERTEX_LIMIT
+                      and cn >= 0.1 * gn)
         if heavy:
             g = _materialize(
                 joined.withColumn("_salt", F.pmod(F.xxhash64("src"), F.lit(16)))
                 .groupBy("cs", "cd", "_salt").agg(F.sum("w").alias("w"))
                 .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
                 .agg(F.sum("w").alias("w"))
+            )
+        elif multigraph:
+            g = _materialize(
+                joined.select(F.col("cs").alias("src"), F.col("cd").alias("dst"),
+                              F.col("w").cast("double").alias("w"))
             )
         else:
             g = _materialize(
@@ -970,6 +991,7 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         part_edges.unpersist()
         rec["aggregate_seconds"] = round(time.time() - t_agg, 3)
         rec["aggregate_salted"] = heavy
+        rec["aggregate_multigraph"] = multigraph
         E /= o.tolerance_drop
         if checkpointer is not None:
             checkpointer.save(p, ucom, g, E, total_iters, metrics)
