@@ -58,6 +58,51 @@ def apply_batch(edges: DataFrame, deletions: DataFrame, insertions: DataFrame) -
     return kept.unionByName(insertions.select("src", "dst", "w"))
 
 
+def apply_batch_to_superstep(spark, checkpointer, deletions: DataFrame,
+                             insertions: DataFrame):
+    """Dynamic update at SUPER-STEP granularity — the reference ships
+    dynamic-update hooks that are never called from any driver
+    (inc/leiden.hxx:354-395 compile but are dead code); this engine makes
+    them real. A tidy batch (original-vertex edge triples, symmetric if the
+    graph is) is mapped into the latest checkpointed super-graph through
+    the dendrogram-so-far (ucom), applied as signed weight deltas, and the
+    pass state is overwritten in place — a subsequent ``leiden_scale(...,
+    checkpointer=...)`` on the updated base table resumes mid-dendrogram on
+    the updated coarse graph instead of recomputing finished passes.
+
+    Returns the updated super-graph DataFrame. Deletion weights must match
+    the stored edge weights (tidy_batch guarantees existence; weights come
+    from the table)."""
+    st = checkpointer.latest(spark)
+    if st is None:
+        raise ValueError("no committed super-step to update")
+    p, ucom, g, E, ti, metrics = st
+    m_src = ucom.select(F.col("id").alias("src"), F.col("community").alias("cs"))
+    m_dst = ucom.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+
+    def to_super(df: DataFrame, sign: float) -> DataFrame:
+        return (
+            df.join(m_src, "src").join(m_dst, "dst")
+            .select(F.col("cs").alias("src"), F.col("cd").alias("dst"),
+                    (F.col("w") * F.lit(sign)).alias("w"))
+        )
+
+    delta = to_super(deletions, -1.0).unionByName(to_super(insertions, 1.0))
+    g2 = (
+        g.unionByName(delta)
+        .groupBy("src", "dst").agg(F.sum("w").alias("w"))
+        .filter(F.abs(F.col("w")) > 1e-12)
+    )
+    # eager pin: save() overwrites the very pass directory ucom/g2 are
+    # lazily reading — materialize both before the overwrite starts
+    ucom = ucom.localCheckpoint(eager=True)
+    g2 = g2.localCheckpoint(eager=True)
+    checkpointer.save(p, ucom, g2, E, ti,
+                      list(metrics) + [{"phase": "dynamic_batch",
+                                        "applied_at_pass": p}])
+    return g2
+
+
 def stream_edges_into_table(spark, events_stream: DataFrame, table_path: str,
                             checkpoint_path: str):
     """Structured Streaming front-end: micro-batches of link events
@@ -66,7 +111,10 @@ def stream_edges_into_table(spark, events_stream: DataFrame, table_path: str,
     def fold(batch_df: DataFrame, batch_id: int) -> None:
         sess = batch_df.sparkSession
         try:
-            current = sess.read.parquet(table_path)
+            # eager pin: the fold overwrites the very path it reads, so the
+            # current rows must be materialized BEFORE the overwrite starts
+            # (Spark cannot overwrite a path still being lazily read)
+            current = sess.read.parquet(table_path).localCheckpoint(eager=True)
         except Exception:
             current = sess.createDataFrame([], "src long, dst long, w double")
         dels = batch_df.filter(F.col("op") == "delete").select("src", "dst", "w")

@@ -96,15 +96,35 @@ def run_once(job: str, cpus: int, size: int) -> dict:
     raise RuntimeError(f"no RESULT line:\n{out[-2000:]}")
 
 
-def run_best(job: str, cpus: int, size: int, reps: int) -> dict:
-    runs = [run_once(job, cpus, size) for _ in range(reps)]
-    best = min(runs, key=lambda r: r["seconds"])
-    best["reps_seconds"] = [r["seconds"] for r in runs]
+def run_pairs(job: str, cpu_lo: int, cpu_hi: int, size: int, reps: int):
+    """Steal-robust A/B protocol: the two cluster sizes run INTERLEAVED
+    (lo, hi, lo, hi, …) so each adjacent pair samples the same host-steal
+    regime; efficiency is reported as the MEDIAN of per-pair efficiencies
+    (pairing cancels slow-varying steal) alongside the min-of-reps
+    estimate. Returns (best_lo, best_hi, pair_effs)."""
+    lo_runs, hi_runs, pair_effs = [], [], []
+    for _ in range(reps):
+        lo = run_once(job, cpu_lo, size)
+        hi = run_once(job, cpu_hi, size)
+        lo_runs.append(lo)
+        hi_runs.append(hi)
+        pair_effs.append(round((lo["seconds"] / hi["seconds"]) / (cpu_hi / cpu_lo), 3))
+    best_lo = min(lo_runs, key=lambda r: r["seconds"])
+    best_hi = min(hi_runs, key=lambda r: r["seconds"])
+    best_lo["reps_seconds"] = [r["seconds"] for r in lo_runs]
+    best_hi["reps_seconds"] = [r["seconds"] for r in hi_runs]
     if job == "leiden":
-        assert len({r["labels_md5"] for r in runs}) == 1, "nondeterministic run!"
+        assert len({r["labels_md5"] for r in lo_runs + hi_runs}) == 1, \
+            "nondeterministic run!"
         # move_seconds stays the BEST RUN's value (taking an independent min
         # across reps mixes runs and can fabricate superlinear phase ratios)
-    return best
+    return best_lo, best_hi, pair_effs
+
+
+def _median(xs):
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
 
 
 def _burn(n):
@@ -165,8 +185,7 @@ def _write(report, out):
 
 
 def _run_leiden(report, cpu_lo, cpu_hi, n_vertices, reps, out):
-    l8 = run_best("leiden", cpu_lo, n_vertices, reps)
-    l32 = run_best("leiden", cpu_hi, n_vertices, reps)
+    l8, l32, pair_effs = run_pairs("leiden", cpu_lo, cpu_hi, n_vertices, reps)
     assert l8["labels_md5"] == l32["labels_md5"], "parallelism changed the result!"
     for leg in (l8, l32):
         leg["edges_per_sec_end2end"] = round(leg["edges"] * leg["passes"] / leg["seconds"])
@@ -176,6 +195,8 @@ def _run_leiden(report, cpu_lo, cpu_hi, n_vertices, reps, out):
     report["leiden"] = {
         f"local{cpu_lo}": l8, f"local{cpu_hi}": l32, "identical_labels": True,
         "eff_end2end": round((l32["edges_per_sec_end2end"] / l8["edges_per_sec_end2end"]) / (cpu_hi / cpu_lo), 3),
+        "pair_effs": pair_effs,
+        "eff_median_of_pairs": round(_median(pair_effs), 3),
         "eff_move_phase": round(
             (l32["edges_per_sec_per_superstep"] / l8["edges_per_sec_per_superstep"]) / (cpu_hi / cpu_lo), 3)
         if l8.get("edges_per_sec_per_superstep") and l32.get("edges_per_sec_per_superstep") else None,
@@ -184,13 +205,14 @@ def _run_leiden(report, cpu_lo, cpu_hi, n_vertices, reps, out):
 
 
 def _run_minhash(report, cpu_lo, cpu_hi, n_rep, reps, out):
-    i8 = run_best("minhash", cpu_lo, n_rep, reps)
-    i32 = run_best("minhash", cpu_hi, n_rep, reps)
+    i8, i32, pair_effs = run_pairs("minhash", cpu_lo, cpu_hi, n_rep, reps)
     for leg in (i8, i32):
         leg["docs_per_sec"] = round(leg["docs"] / leg["seconds"])
     report["minhash"] = {
         f"local{cpu_lo}": i8, f"local{cpu_hi}": i32,
         "eff": round((i32["docs_per_sec"] / i8["docs_per_sec"]) / (cpu_hi / cpu_lo), 3),
+        "pair_effs": pair_effs,
+        "eff_median_of_pairs": round(_median(pair_effs), 3),
     }
     _write(report, out)
 
