@@ -42,7 +42,7 @@ double sweep_c(
     double M, double R, double E,
     double* vcout, i64* tkeys, u8* intouch,
     u8* active, u8* moved_mask, i64* moved_list,
-    u8* ever_moved, double* acc_gain)
+    u8* ever_moved, double* acc_gain, u8* blocked)
 {
     double el_total = 0.0;
     const double two_mm = 2.0 * M * M;
@@ -55,6 +55,7 @@ double sweep_c(
             const double uvt = vtot[up];
             const i64 dp = commp[up];
             if (refine && ctot[dp] > uvt) continue;
+            blocked[k] = 0;  /* per-scan verdict overwrite */
             i64 nt = 0;
             const i64 b = refine ? bound[up] : 0;
             const i64 r0 = u_start[k], r1 = u_start[k + 1];
@@ -73,18 +74,23 @@ double sweep_c(
             for (i64 t = 0; t < nt; ++t) {
                 const i64 c = tkeys[t];
                 if (c == dp) continue;
-                if (direction != 0 && !is_local[c]) {
-                    if (direction > 0 && c <= dp) continue;
-                    if (direction < 0 && c >= dp) continue;
-                }
                 const double g = (vcout[c] - vdout) / M
                     - R * uvt * (uvt + ctot[c] - ctd) / two_mm;
+                if (direction != 0 && !is_local[c] &&
+                    ((direction > 0 && c <= dp) || (direction < 0 && c >= dp))) {
+                    /* positive move rejected purely by the direction rule:
+                       flag so the driver keeps u in the next round's aff
+                       seed (the flip releases it) */
+                    if (g > 0.0) blocked[k] = 1;
+                    continue;
+                }
                 if (g > emax || (g == emax && best >= 0 && c < best)) {
                     emax = g; best = c;
                 }
             }
             for (i64 t = 0; t < nt; ++t) { vcout[tkeys[t]] = 0.0; intouch[tkeys[t]] = 0; }
             if (best >= 0 && emax > 0.0) {
+                blocked[k] = 0;  /* a mover is not blocked */
                 ctot[dp] -= uvt;
                 ctot[best] += uvt;
                 commp[up] = best;
@@ -151,7 +157,7 @@ def get_kernel():
             ctypes.c_double, ctypes.c_double, ctypes.c_double,  # M R E
             c_p, c_p, c_p,                        # vcout tkeys intouch
             c_p, c_p, c_p,                        # active moved_mask moved_list
-            c_p, c_p,                             # ever_moved acc_gain
+            c_p, c_p, c_p,                        # ever_moved acc_gain blocked
         ]
         _kernel = fn
     except (OSError, subprocess.CalledProcessError) as exc:

@@ -56,7 +56,7 @@ from .kernel import CsrGraph, LeidenOptions, leiden_exact
 from .materialize import materialize as _materialize_reset
 from .sweep import DriverState, sweep_partition
 
-_MOVES_SCHEMA = "id long, community_new long, gain double"
+_MOVES_SCHEMA = "id long, community_new long, gain double, blocked int"
 
 _PART_LABELS: dict[int, list[int]] = {}
 
@@ -778,7 +778,12 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                 pd.DataFrame({"dst": np.asarray(mover_ids, dtype="int64")}))
             aff = (
                 part_edges.join(F.broadcast(mv), "dst", "left_semi")
-                .select("src").distinct()
+                .select("src")
+                # seeds self-activate in-task (blocked vertices), so their
+                # own adjacency must be in the feed even when none of their
+                # neighbors is seeded
+                .unionByName(mv.select(F.col("dst").alias("src")))
+                .distinct()
             )
             return part_edges.join(F.broadcast(aff), "src", "left_semi")
 
@@ -807,40 +812,49 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                     feed = frontier_feed(state.vid[changed_pos])
             out = run_sweep(snap, False, E, direction, feed=feed)
             move_iters += 1
-            if len(out):
-                pos = state.pos(out["id"].to_numpy(np.int64))
-                state.comm[pos] = out["community_new"].to_numpy(np.int64)
+            # split movers from direction-blocked pending moves (blocked=1
+            # rows carry an unchanged label; they are applied nowhere but
+            # stay in the aff seed so the flipped direction releases them)
+            mv = out[out["blocked"] == 0] if len(out) else out
+            n_blocked = int(len(out) - len(mv))
+            if len(mv):
+                pos_mv = state.pos(mv["id"].to_numpy(np.int64))
+                state.comm[pos_mv] = mv["community_new"].to_numpy(np.int64)
                 state.recompute_ctot()
+            if len(out):
                 # aff-seed the next round only when the frontier is small:
                 # a big mover set needs a full re-equilibration round (frontier
                 # waves otherwise keep el hovering at the tolerance), while a
                 # small one makes the next round O(frontier) — the 100 TB tail.
-                # Seed with the UNION of the last two rounds' movers: rounds
-                # alternate direction, so a vertex activated by a round-r move
-                # must stay scannable through r+1 AND r+2 (one round of each
-                # direction) or a direction-blocked positive move would be
-                # skipped for the rest of the pass (unlike the reference's
+                # Seed with the UNION of the last two rounds' movers AND
+                # blocked vertices: rounds alternate direction, so a vertex
+                # activated by a round-r move must stay scannable through r+1
+                # AND r+2 (one round of each direction), and a vertex whose
+                # only positive move was direction-blocked (blocked=1 row)
+                # must be rescanned after the flip (unlike the reference's
                 # direction-free vaff pruning, inc/leiden.hxx:656,661-662)
+                pos = state.pos(out["id"].to_numpy(np.int64))
                 seed = pos if prev_pos is None else np.union1d(pos, prev_pos)
                 changed_pos = seed if len(seed) < 0.02 * gn else None
                 prev_pos = pos
             else:
                 changed_pos = np.empty(0, dtype=np.int64)
                 prev_pos = changed_pos
-            el = float(out["gain"].sum()) if len(out) else 0.0
+            el = float(mv["gain"].sum()) if len(mv) else 0.0
             round_log.append({"seconds": round(time.time() - t_rnd, 2),
-                              "movers": int(len(out)), "el": round(el, 6)})
+                              "movers": int(len(mv)), "blocked": n_blocked,
+                              "el": round(el, 6)})
             # a direction-constrained round sees only half the move space, so
             # convergence needs two consecutive below-tolerance rounds; a
             # tiny-churn stop bounds synchronous label noise that never
             # crosses E (the async reference has no such noise floor); a
             # repeated (movers, gain, id-sum) signature means a period-≤2
             # limit cycle that will never descend below E — stop
-            sig = (len(out), round(el, 10),
-                   int(out["id"].sum()) if len(out) else 0)
+            sig = (len(mv), round(el, 10),
+                   int(mv["id"].sum()) if len(mv) else 0)
             cycle = sig in prev_sigs
             prev_sigs = (prev_sigs + [sig])[-2:]
-            tiny = len(out) <= max(8, gn // 2000)
+            tiny = len(mv) <= max(8, gn // 2000)
             # plateau: alternating-direction sweeps can descend very slowly
             # near a swap-rich fixed point (el improves <30% per 3-round
             # window) — aggregation + the next pass converges the residue
@@ -848,8 +862,12 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             # of grinding to the iteration cap (deterministic rule)
             els = [r["el"] for r in round_log]
             plateau = len(els) >= 6 and min(els[-3:]) > 0.7 * min(els[-6:-3])
-            if len(out) == 0 or tiny or cycle or plateau or (
-                    el <= E and (direction == 0 or el_prev <= E)):
+            # pending blocked moves veto the tiny/tolerance stops (the next
+            # round's flipped direction releases them); cycle and plateau
+            # remain hard stops (bounded work)
+            if len(out) == 0 or cycle or plateau or (
+                    n_blocked == 0 and (tiny or (
+                        el <= E and (direction == 0 or el_prev <= E)))):
                 break
             el_prev = el
         t_move = time.time() - t_move0

@@ -75,7 +75,7 @@ class DriverState:
 
 def _run_c_sweep(ck, nu, nv, u_start, dstp, w, upos, commp, vtot, ctot,
                  bound, is_local, max_iters, refine, direction, M, R, E,
-                 active, moved_mask, ever_moved, acc_gain):
+                 active, moved_mask, ever_moved, acc_gain, blocked):
     """Marshal numpy buffers into the compiled sweep (operators/_ckernel.py).
     Mutates commp/ctot/active/ever_moved/acc_gain in place."""
     def p(a):
@@ -100,7 +100,7 @@ def _run_c_sweep(ck, nu, nv, u_start, dstp, w, upos, commp, vtot, ctot,
        float(M), float(R), float(E),
        p(vcout), p(tkeys), p(intouch),
        p(active), p(moved_mask), p(moved_list),
-       p(ever_moved), p(acc_gain))
+       p(ever_moved), p(acc_gain), p(blocked))
 
 
 def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
@@ -128,7 +128,8 @@ def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
 
     empty = pd.DataFrame({"id": pd.Series([], dtype="int64"),
                           "community_new": pd.Series([], dtype="int64"),
-                          "gain": pd.Series([], dtype="float64")})
+                          "gain": pd.Series([], dtype="float64"),
+                          "blocked": pd.Series([], dtype="int32")})
     parts = list(pdf_iter)
     if not parts:
         yield empty
@@ -173,23 +174,42 @@ def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
         active = np.zeros(nu, dtype=bool)
         moved_vpos_mask[seed] = True
         active[row_u[moved_vpos_mask[dstp]]] = True
+        # seeds self-activate: a direction-blocked vertex needs ITSELF
+        # rescanned when the direction flips, not just its neighbors
+        active |= moved_vpos_mask[upos]
         moved_vpos_mask[:] = False
     else:
         active = np.ones(nu, dtype=bool)
 
+    blocked_u = np.zeros(nu, dtype=np.uint8)
+
+    def _emit(commp0):
+        """Net movers (final label != round-start) plus direction-blocked
+        positive movers that did NOT net-move — the driver applies only
+        blocked==0 rows and unions blocked==1 ids into the next round's
+        seed so the flipped direction releases the pending move."""
+        net = ever_moved & (commp[upos] != np.searchsorted(vid, commp0)[upos])
+        mk = np.flatnonzero(net)
+        bk = np.flatnonzero(blocked_u.astype(bool) & ~net)
+        return pd.DataFrame({
+            "id": pd.Series(np.concatenate([u_ids[mk], u_ids[bk]]), dtype="int64"),
+            "community_new": pd.Series(
+                np.concatenate([vid[commp[upos[mk]]], vid[commp[upos[bk]]]]),
+                dtype="int64"),
+            "gain": pd.Series(
+                np.concatenate([acc_gain[mk], acc_gain[bk]]), dtype="float64"),
+            "blocked": pd.Series(
+                np.concatenate([np.zeros(len(mk), np.int32),
+                                np.ones(len(bk), np.int32)]), dtype="int32"),
+        })
+
     from ._ckernel import get_kernel
     ck = get_kernel()
     if ck is not None:
-        commp0 = commp.copy()
         _run_c_sweep(ck, nu, nv, u_start, dstp, w, upos, commp, vtot, ctot,
                      bound, is_local, max_local_iters, refine, direction, M, R, E,
-                     active, moved_vpos_mask, ever_moved, acc_gain)
-        mk = np.flatnonzero(ever_moved & (commp[upos] != commp0[upos]))
-        yield pd.DataFrame({
-            "id": pd.Series(u_ids[mk], dtype="int64"),
-            "community_new": pd.Series(vid[commp[upos[mk]]], dtype="int64"),
-            "gain": pd.Series(acc_gain[mk], dtype="float64"),
-        })
+                     active, moved_vpos_mask, ever_moved, acc_gain, blocked_u)
+        yield _emit(state["comm"])
         return
 
     for it_no in range(max(max_local_iters, 1)):
@@ -205,6 +225,7 @@ def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
         act_idx = np.flatnonzero(active)
         for b0 in range(0, len(act_idx), block):
             blk = act_idx[b0:b0 + block]
+            blocked_u[blk] = 0               # per-scan verdict overwrite
             # ragged gather of the block's adjacency rows
             lens = u_start[blk + 1] - u_start[blk]
             tot = int(lens.sum())
@@ -255,9 +276,13 @@ def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
             if direction != 0:
                 rem = ~is_local[g_c]
                 if direction > 0:
-                    cand &= ~rem | (vid[g_c] > vid[g_d])
+                    dir_ok = ~rem | (vid[g_c] > vid[g_d])
                 else:
-                    cand &= ~rem | (vid[g_c] < vid[g_d])
+                    dir_ok = ~rem | (vid[g_c] < vid[g_d])
+                # positive moves rejected purely by the direction rule:
+                # flag their source vertices (cleared below if they move)
+                blocked_u[g_u[cand & ~dir_ok]] = 1
+                cand &= dir_ok
             idx = np.flatnonzero(cand)
             if idx.size == 0:
                 continue
@@ -318,6 +343,7 @@ def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
                 commp[mv_up_a] = np.asarray(mv_cp, dtype=np.int64)
                 moved_vpos_mask[mv_up_a] = True
                 ks_a = np.asarray(ks, dtype=np.int64)
+                blocked_u[ks_a] = 0              # a mover is not blocked
                 ever_moved[ks_a] = True
                 np.add.at(acc_gain, ks_a, np.asarray(gains_l, dtype=np.float64))
                 dk = np.fromiter(delta.keys(), dtype=np.int64, count=len(delta))
@@ -329,10 +355,4 @@ def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
     # emit only NET movers (final label != round-start label): the driver
     # applies labels and recomputes ctot, so internal ping-pong that lands
     # back home carries no information and would only inflate the collect
-    commp0 = np.searchsorted(vid, state["comm"])
-    mk = np.flatnonzero(ever_moved & (commp[upos] != commp0[upos]))
-    yield pd.DataFrame({
-        "id": pd.Series(u_ids[mk], dtype="int64"),
-        "community_new": pd.Series(vid[commp[upos[mk]]], dtype="int64"),
-        "gain": pd.Series(acc_gain[mk], dtype="float64"),
-    })
+    yield _emit(state["comm"])

@@ -61,7 +61,7 @@ def test_backend_valid_and_improving(use_c):
         pytest.skip("no C toolchain")
     df = _two_cliques()
     out, M = _run(df, use_c)
-    assert list(out.columns) == ["id", "community_new", "gain"]
+    assert list(out.columns) == ["id", "community_new", "gain", "blocked"]
     assert (out["gain"] > 0).all()
     # apply moves; modularity must beat singletons and find the two cliques
     memb = {int(v): int(v) for v in pd.unique(df[["src", "dst"]].values.ravel())}

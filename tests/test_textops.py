@@ -316,3 +316,27 @@ def test_ivf_cosine_recall_nlist64(spark):
            for r in dd.ivf_cosine_topk(d, q, k=1, nlist=64, nprobe=8).collect()}
     hits = sum(1 for qid, nid in brute.items() if ivf.get(qid) == nid)
     assert hits >= 0.9 * len(brute), f"recall@1 {hits}/{len(brute)}"
+
+
+def test_lsh_cosine_recall_planes8(spark):
+    """Production-shape hyperplane count: planes=8 (256 buckets) over a
+    512-vector clustered corpus. Multi-probe (own bucket + every Hamming-1
+    flip) must hold recall@1 >= 0.9 vs brute force, and scores on found
+    pairs are exact (same dot expression)."""
+    import random
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(512):
+        center = i % 16
+        base = [2.0 if d == center else 0.0 for d in range(16)]
+        vec = [b + rng.uniform(-0.1, 0.1) for b in base]
+        rows.append((i, vec))
+    d = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = d.filter(F.col("vec_id") < 16)
+    brute = {r["query_id"]: r["neighbor_id"]
+             for r in dd.cosine_topk(d, q, k=1).collect()}
+    lsh = {r["query_id"]: r["neighbor_id"]
+           for r in dd.lsh_cosine_topk(d, q, k=1, planes=8).collect()}
+    hits = sum(1 for qid, nid in brute.items() if lsh.get(qid) == nid)
+    assert hits >= 0.9 * len(brute), f"recall@1 {hits}/{len(brute)}"
