@@ -593,6 +593,7 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                  driver_threshold: int = 250000,
                  driver_vertex_threshold: int = 20000,
                  frontier_threshold: float = 0.0,
+                 aff_seed_fraction: float = 0.02,
                  strategy: str = "auto",
                  rounds_vertex_threshold: int = 300_000_000) -> LeidenRunResult:
     """Distributed Leiden (``refine=True``) / Louvain (``refine=False``).
@@ -603,6 +604,15 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
     edge rows finish on the driver with the deterministic kernel.
     ``checkpointer``: plans.checkpoint.CheckpointManager for per-super-step
     persistence + resume.
+
+    ``aff_seed_fraction``: a round is aff-seeded (rescan only the last two
+    rounds' movers+blocked and their neighbors) when that union is below
+    this fraction of the vertices — a perf heuristic (big frontiers
+    converge faster with a full re-equilibration round), not a correctness
+    knob. ``frontier_threshold``: additionally cut the Arrow feed itself to
+    the seeded adjacency (JVM semi-join) when the seed is below this
+    fraction; 0.0 disables (in local mode the full feed of a cached table
+    beats the semi-join machinery — on a real cluster it pays).
 
     ``strategy``: ``"sweep"`` (broadcast-state partitioned Gauss-Seidel,
     O(|V|) driver+broadcast arrays — the fast path to ~10⁸-10⁹ vertices),
@@ -835,7 +845,7 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                 # direction-free vaff pruning, inc/leiden.hxx:656,661-662)
                 pos = state.pos(out["id"].to_numpy(np.int64))
                 seed = pos if prev_pos is None else np.union1d(pos, prev_pos)
-                changed_pos = seed if len(seed) < 0.02 * gn else None
+                changed_pos = seed if len(seed) < aff_seed_fraction * gn else None
                 prev_pos = pos
             else:
                 changed_pos = np.empty(0, dtype=np.int64)
@@ -843,7 +853,7 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             el = float(mv["gain"].sum()) if len(mv) else 0.0
             round_log.append({"seconds": round(time.time() - t_rnd, 2),
                               "movers": int(len(mv)), "blocked": n_blocked,
-                              "el": round(el, 6)})
+                              "el": round(el, 6), "fed": feed is not None})
             # a direction-constrained round sees only half the move space, so
             # convergence needs two consecutive below-tolerance rounds; a
             # tiny-churn stop bounds synchronous label noise that never

