@@ -2,10 +2,12 @@
 
 Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata. The Spark-side plumbing — schemas, Arrow batch shapes, UDF
-signatures, partition sizing — is real and tested; the actual media decode
-is STUBBED behind ``_decode_image``/``_decode_audio`` (codec libraries are
-not in this container) with a deterministic fake so pipelines are testable
-end-to-end.
+signatures, partition sizing — is real and tested. Decode status: PNG
+images decode/resize/re-encode for REAL via the vendored from-scratch codec
+(functions/png.py; PIL is preferred when the environment provides it), and
+PNGV videos (a minimal concatenated-PNG container defined here) sample REAL
+decodable frames; other codecs fall back to a deterministic fake so
+pipelines stay testable end-to-end in this codec-less container.
 """
 
 from __future__ import annotations
@@ -108,14 +110,60 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(run, MEDIA_SCHEMA)
 
 
+# --- PNGV: a minimal deterministic video container (concatenated PNG
+# frames) so frame sampling is REAL in this container: no video codec
+# exists here, but the vendored PNG codec lets a toy-but-valid container
+# exercise the full sample path (parse → index → extract decodable frame).
+# Layout: b"PNGV" | uint32 n_frames | uint32 frame_interval_ms |
+#         n × (uint32 frame_len | PNG bytes)         (all big-endian)
+_PNGV_MAGIC = b"PNGV"
+
+
+def encode_pngv(frames: list[bytes], interval_ms: int) -> bytes:
+    import struct
+    out = [_PNGV_MAGIC, struct.pack(">II", len(frames), interval_ms)]
+    for f in frames:
+        out.append(struct.pack(">I", len(f)))
+        out.append(f)
+    return b"".join(out)
+
+
+def decode_pngv(payload: bytes) -> tuple[list[bytes], int]:
+    """→ (frames, interval_ms). Raises ValueError on a non-PNGV payload."""
+    import struct
+    if bytes(payload[:4]) != _PNGV_MAGIC:
+        raise ValueError("not a PNGV payload")
+    n, interval = struct.unpack(">II", bytes(payload[4:12]))
+    frames, off = [], 12
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", bytes(payload[off:off + 4]))
+        off += 4
+        frames.append(bytes(payload[off:off + ln]))
+        off += ln
+    return frames, interval
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
-    """Video frame sampling plumbing: one output row per sampled timestamp
-    (frame decode STUBBED — emits the payload's leading bytes per frame)."""
+    """Sample one frame per ``every_ms`` of video. PNGV payloads take the
+    real chain — container parse, timestamp→frame index, extraction of the
+    actual (decodable) PNG frame; unknown codecs fall back to a
+    deterministic stub (leading payload bytes) so pipelines stay testable.
+    Executor-side mapInPandas; one output row per sampled timestamp."""
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
             rows = {"media_id": [], "frame_idx": [], "frame": []}
             for mid, payload, dur in zip(b["media_id"], b["payload"], b["duration_ms"]):
+                if payload is not None and bytes(payload[:4]) == _PNGV_MAGIC:
+                    frames, interval = decode_pngv(payload)
+                    dur = dur or len(frames) * interval
+                    ts = range(0, int(dur), every_ms)
+                    for i, t in enumerate(ts):
+                        k = min(t // max(interval, 1), len(frames) - 1)
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(i)
+                        rows["frame"].append(frames[k])
+                    continue
                 n = max(int((dur or 0) // every_ms), 0)
                 for i in range(n):
                     rows["media_id"].append(mid)
@@ -124,6 +172,26 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return media.filter(F.col("kind") == "video").mapInPandas(sample, FRAME_SAMPLE_SCHEMA)
+
+
+def gen_pngv_media_df(spark, n_videos: int = 4, n_frames: int = 6,
+                      interval_ms: int = 500) -> DataFrame:
+    """Deterministic REAL-PNGV video table: each video is ``n_frames``
+    gradient PNGs (frame index baked into the pixels) in a PNGV container,
+    so sample_frames exercises the actual parse/extract/decode path."""
+    from ..functions.png import encode_png_gray
+
+    rows = []
+    for v in range(n_videos):
+        frames = []
+        for k in range(n_frames):
+            yy, xx = np.mgrid[0:8, 0:8]
+            img = ((yy * 3 + xx * 5 + v * 11 + k * 29) % 256).astype(np.uint8)
+            frames.append(encode_png_gray(img))
+        payload = encode_pngv(frames, interval_ms)
+        rows.append((v, "video", bytearray(payload), "video/x-pngv",
+                     8, 8, n_frames * interval_ms))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def gen_png_media_df(spark, n: int = 32) -> DataFrame:

@@ -256,6 +256,33 @@ def test_resize_images_real_chain(spark):
         assert np.array_equal(got, want)
 
 
+def test_sample_frames_real_pngv_chain(spark):
+    """sample_frames on a PNGV container extracts REAL decodable PNG
+    frames at the right timestamps: sampling every 1000ms from a 6-frame
+    500ms-interval video yields frames 0,2,4 with exact pixels."""
+    import numpy as np
+
+    from leiden_communities_openmp_spark.functions import png
+    from leiden_communities_openmp_spark.operators.multimodal import (
+        decode_pngv, gen_pngv_media_df, sample_frames,
+    )
+
+    media = gen_pngv_media_df(spark, n_videos=3, n_frames=6, interval_ms=500)
+    originals = {r["media_id"]: decode_pngv(bytes(r["payload"]))[0]
+                 for r in media.collect()}
+    out = sample_frames(media, every_ms=1000).collect()
+    assert len(out) == 3 * 3                     # 3000ms / 1000ms per video
+    for r in out:
+        want_src = originals[r["media_id"]][r["frame_idx"] * 2]
+        assert bytes(r["frame"]) == want_src     # the actual container frame
+        img = png.decode_png(bytes(r["frame"]))  # and it really decodes
+        assert img.shape == (8, 8)
+        v, k = r["media_id"], r["frame_idx"] * 2
+        yy, xx = np.mgrid[0:8, 0:8]
+        assert np.array_equal(img, ((yy * 3 + xx * 5 + v * 11 + k * 29) % 256
+                                    ).astype(np.uint8))
+
+
 def test_batch_updates(spark):
     from leiden_communities_openmp_spark.streaming.batch_updates import (
         apply_batch, tidy_batch,

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Frontier-feed measurement at bench scale (VERDICT r2 'missing #4').
+
+Runs distributed Leiden on the 21.6M-edge planted graph with the JVM
+frontier feed off (full per-round Arrow feed of the cached partitioned
+edges) and on (broadcast semi-join cut to the seeded adjacency), interleaved
+reps, and reports per-leg move-phase seconds, fed-round counts, and the
+labels md5 (must be identical — the feed is transport-only).
+
+Usage: python3 tools/frontier_bench.py [n_vertices] [cpus] [reps]
+Writes BENCH/frontier.json.
+"""
+
+from __future__ import annotations
+
+import json
+import pathlib
+import subprocess
+import sys
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+CHILD = r"""
+import hashlib, json, sys, time
+sys.path.insert(0, __REPO__)
+cpus = int(sys.argv[1]); size = int(sys.argv[2]); thr = float(sys.argv[3])
+from leiden_communities_openmp_spark.session import get_spark
+spark = get_spark("frontier-bench", cpus=cpus, shuffle_partitions=64)
+spark.sparkContext.setLogLevel("ERROR")
+from leiden_communities_openmp_spark.operators.graphgen import planted_hard
+from leiden_communities_openmp_spark.operators.kernel import LeidenOptions
+from leiden_communities_openmp_spark.operators.leiden import leiden_scale
+from leiden_communities_openmp_spark.sources.edges import symmetricize_df
+e = symmetricize_df(planted_hard(spark, size)).localCheckpoint(eager=True)
+n_edges = e.count()
+spark.range(100000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+t0 = time.time()
+res = leiden_scale(spark, e, LeidenOptions(), num_partitions=64,
+                   frontier_threshold=thr)
+dt = time.time() - t0
+labels = sorted((r["id"], r["community"]) for r in res.membership.collect())
+h = hashlib.md5(json.dumps(labels).encode()).hexdigest()
+move = sum(m.get("move_seconds", 0.0) for m in res.metrics)
+fed = sum(1 for m in res.metrics for r in m.get("rounds", []) if r.get("fed"))
+rounds = sum(len(m.get("rounds", [])) for m in res.metrics)
+print("RESULT " + json.dumps({
+    "threshold": thr, "cpus": cpus, "edges": n_edges,
+    "seconds": round(dt, 3), "move_seconds": round(move, 3),
+    "rounds": rounds, "fed_rounds": fed,
+    "modularity": round(res.modularity, 9), "labels_md5": h,
+}))
+spark.stop()
+"""
+
+
+def run_once(cpus: int, size: int, thr: float) -> dict:
+    script = CHILD.replace("__REPO__", repr(str(REPO)))
+    out = subprocess.run(
+        [sys.executable, "-u", "-c", script, str(cpus), str(size), str(thr)],
+        capture_output=True, text=True, check=True).stdout
+    for ln in out.splitlines():
+        if ln.startswith("RESULT "):
+            return json.loads(ln[len("RESULT "):])
+    raise RuntimeError(f"no RESULT line:\n{out[-2000:]}")
+
+
+def main():
+    size = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    legs = {0.0: [], 0.005: []}
+    for _ in range(reps):                      # interleaved (steal-robust)
+        for thr in legs:
+            legs[thr].append(run_once(cpus, size, thr))
+    report = {}
+    md5s = set()
+    for thr, runs in legs.items():
+        best = min(runs, key=lambda r: r["seconds"])
+        best["reps_seconds"] = [r["seconds"] for r in runs]
+        best["reps_move_seconds"] = [r["move_seconds"] for r in runs]
+        report[f"threshold_{thr}"] = best
+        md5s.update(r["labels_md5"] for r in runs)
+    report["identical_labels"] = len(md5s) == 1
+    assert report["identical_labels"], f"feed changed labels! {md5s}"
+    out = REPO / "BENCH" / "frontier.json"
+    out.write_text(json.dumps(report, indent=1))
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
