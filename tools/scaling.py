@@ -52,8 +52,10 @@ if job == "leiden":
     e = e.localCheckpoint(eager=True)
     n_edges = e.count()
     spark.range(100000).repartition(64).mapInPandas(lambda it: it, "id long").count()
+    thr = float(os.environ.get("SPARK_GRAFT_FRONTIER", "0.0"))
     t0 = time.time()
-    res = leiden_scale(spark, e, LeidenOptions(), num_partitions=64)
+    res = leiden_scale(spark, e, LeidenOptions(), num_partitions=64,
+                       frontier_threshold=thr)
     dt = time.time() - t0
     import hashlib
     labels = sorted((r["id"], r["community"]) for r in res.membership.collect())
@@ -200,7 +202,10 @@ def main():
     jobs = set(os.environ.get("SPARK_GRAFT_SCALING_JOBS", "leiden,minhash").split(","))
     cpu_lo, cpu_hi = (int(x) for x in os.environ.get(
         "SPARK_GRAFT_SCALING_CPUS", "2,8").split(","))
-    out = REPO / "BENCH" / "scaling.json"
+    # SPARK_GRAFT_SCALING_OUT redirects the report (e.g. a frontier-enabled
+    # secondary run must not clobber the default-config evidence)
+    out = pathlib.Path(os.environ.get(
+        "SPARK_GRAFT_SCALING_OUT", REPO / "BENCH" / "scaling.json"))
     report = json.loads(out.read_text()) if out.exists() else {}
     report["hardware_ceiling"] = hardware_ceiling(cpu_lo, cpu_hi)
     if "leiden" not in jobs:
