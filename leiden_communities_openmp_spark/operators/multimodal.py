@@ -4,10 +4,11 @@ Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata. The Spark-side plumbing — schemas, Arrow batch shapes, UDF
 signatures, partition sizing — is real and tested. Decode status: PNG
 images decode/resize/re-encode for REAL via the vendored from-scratch codec
-(functions/png.py; PIL is preferred when the environment provides it), and
-PNGV videos (a minimal concatenated-PNG container defined here) sample REAL
-decodable frames; other codecs fall back to a deterministic fake so
-pipelines stay testable end-to-end in this codec-less container.
+(functions/png.py; PIL is preferred when the environment provides it),
+RIFF/WAVE PCM audio decodes for REAL (functions/wav.py), and PNGV videos
+(a minimal concatenated-PNG container defined here) sample REAL decodable
+frames; other codecs fall back to a deterministic fake so pipelines stay
+testable end-to-end in this codec-less container.
 """
 
 from __future__ import annotations
@@ -108,6 +109,68 @@ def resize_images(media: DataFrame, width: int, height: int) -> DataFrame:
             yield out
 
     return media.filter(F.col("kind") == "image").mapInPandas(run, MEDIA_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "media_id long, sample_rate int, duration_s double, rms double, "
+    "peak double, zero_crossing_rate double"
+)
+
+
+def _decode_audio(payload: bytes) -> tuple[np.ndarray, int]:
+    """Mono samples + rate. RIFF/WAVE PCM payloads decode for REAL via the
+    vendored codec (functions/wav.py); anything else takes a deterministic
+    fake (byte values as samples at a nominal 8kHz) so plumbing stays
+    testable on opaque fixtures."""
+    from ..functions import wav as _wav
+    if payload is None or len(payload) == 0:
+        raise NotImplementedError("audio decode requires a payload")
+    if _wav.is_wav(bytes(payload)):
+        return _wav.decode_wav(bytes(payload))
+    fake = np.frombuffer(bytes(payload[:4096]), dtype=np.uint8).astype(np.float64)
+    return (fake - 128.0) / 128.0, 8000
+
+
+def audio_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
+    """Per-clip audio features: duration, RMS, peak, zero-crossing rate.
+    Executor-side mapInPandas (Arrow batches); WAV payloads take the real
+    decode, unknown codecs the deterministic fake."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            rows = {"media_id": [], "sample_rate": [], "duration_s": [],
+                    "rms": [], "peak": [], "zero_crossing_rate": []}
+            for mid, payload in zip(b["media_id"], b["payload"]):
+                s, rate = _decode_audio(payload)
+                n = max(len(s), 1)
+                zc = float(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
+                rows["media_id"].append(mid)
+                rows["sample_rate"].append(np.int32(rate))
+                rows["duration_s"].append(len(s) / float(rate))
+                rows["rms"].append(float(np.sqrt(np.mean(s * s))) if len(s) else 0.0)
+                rows["peak"].append(float(np.abs(s).max()) if len(s) else 0.0)
+                rows["zero_crossing_rate"].append(zc / n)
+            yield pd.DataFrame(rows)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        extract, AUDIO_FEATURES_SCHEMA)
+
+
+def gen_wav_media_df(spark, n: int = 8, rate: int = 8000) -> DataFrame:
+    """Deterministic REAL-WAV audio table: pure sine tones with known
+    frequency/amplitude so audio_features' outputs have closed forms."""
+    from ..functions.wav import encode_wav_pcm16
+
+    rows = []
+    for i in range(n):
+        freq = 200.0 * (i + 1)
+        amp = 0.1 + 0.1 * (i % 8)
+        dur_s = 0.5 + 0.25 * (i % 3)
+        t = np.arange(int(rate * dur_s)) / rate
+        payload = encode_wav_pcm16(amp * np.sin(2 * np.pi * freq * t), rate)
+        rows.append((i, "audio", bytearray(payload), "audio/wav",
+                     0, 0, int(dur_s * 1000)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 # --- PNGV: a minimal deterministic video container (concatenated PNG

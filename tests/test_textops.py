@@ -283,6 +283,42 @@ def test_sample_frames_real_pngv_chain(spark):
                                     ).astype(np.uint8))
 
 
+def test_audio_features_real_wav_chain(spark):
+    """audio_features on real WAV sine tones: duration exact, RMS within
+    0.5% of amp/sqrt(2), ZCR within 2% of 2f/rate — i.e. the REAL decode
+    ran, not the byte fake. A non-WAV payload takes the fake path and
+    reports the nominal fake rate."""
+    import numpy as np
+
+    from leiden_communities_openmp_spark.functions.wav import decode_wav, encode_wav_pcm16
+    from leiden_communities_openmp_spark.operators.multimodal import (
+        MEDIA_SCHEMA, audio_features, gen_wav_media_df,
+    )
+
+    rate = 8000
+    media = gen_wav_media_df(spark, n=6, rate=rate)
+    out = {r["media_id"]: r for r in audio_features(media).collect()}
+    assert len(out) == 6
+    for i in range(6):
+        freq, amp = 200.0 * (i + 1), 0.1 + 0.1 * (i % 8)
+        dur = 0.5 + 0.25 * (i % 3)
+        r = out[i]
+        assert r["sample_rate"] == rate
+        assert abs(r["duration_s"] - dur) < 1.0 / rate
+        assert abs(r["rms"] - amp / np.sqrt(2)) < 0.005 * amp
+        assert abs(r["zero_crossing_rate"] - 2 * freq / rate) < 0.02
+
+    # round-trip sanity of the codec itself (stereo averaging incl.)
+    s, r_ = decode_wav(encode_wav_pcm16(np.array([0.0, 0.5, -0.5]), 44100))
+    assert r_ == 44100 and np.allclose(s, [0.0, 0.5, -0.5], atol=1e-4)
+
+    fake = spark.createDataFrame(
+        [(99, "audio", bytearray(b"\x01\x02\x03\x04" * 64), "audio/opus", 0, 0, 0)],
+        MEDIA_SCHEMA)
+    fr = audio_features(fake).collect()[0]
+    assert fr["sample_rate"] == 8000 and fr["duration_s"] > 0
+
+
 def test_batch_updates(spark):
     from leiden_communities_openmp_spark.streaming.batch_updates import (
         apply_batch, tidy_batch,
