@@ -143,7 +143,8 @@ def audio_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             for mid, payload in zip(b["media_id"], b["payload"]):
                 s, rate = _decode_audio(payload)
                 n = max(len(s), 1)
-                zc = float(np.count_nonzero(np.signbit(s[1:]) != np.signbit(s[:-1])))
+                # (s < 0), not signbit: -0.0 must compare like SQL's v < 0
+                zc = float(np.count_nonzero((s[1:] < 0) != (s[:-1] < 0)))
                 rows["media_id"].append(mid)
                 rows["sample_rate"].append(np.int32(rate))
                 rows["duration_s"].append(len(s) / float(rate))

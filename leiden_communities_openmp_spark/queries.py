@@ -500,6 +500,18 @@ def q_image_features_png(spark, sf_dir):
         "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma"))
 
 
+def q_audio_features(spark, sf_dir):
+    """REAL audio decode chain: WAV sine tones (vendored from-scratch PCM
+    codec, functions/wav.py) through Arrow feature extraction; the oracle
+    recomputes every quantized sample and feature from pure math in SQL."""
+    from .operators.multimodal import audio_features, gen_wav_media_df
+    return audio_features(gen_wav_media_df(spark, 6)).select(
+        "media_id", "sample_rate",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zero_crossing_rate", 6).alias("zcr"))
+
+
 QUERIES = {
     "edge_dedup": q_edge_dedup,
     "symmetricize": q_symmetricize,
@@ -554,6 +566,7 @@ QUERIES = {
     "ivf_cosine": q_ivf_cosine,
     "image_features": q_image_features,
     "image_features_png": q_image_features_png,
+    "audio_features": q_audio_features,
 }
 
 
@@ -842,6 +855,28 @@ ORACLES: dict[str, str] = {
         "SELECT CAST(i AS BIGINT) AS media_id, CAST(w AS INT) AS width, "
         "CAST(h AS INT) AS height, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_luma "
         "FROM px GROUP BY i, w, h"
+    ),
+    # closed-form oracle for the REAL WAV decode chain: gen_wav_media_df's
+    # sine tones are pure math, so DuckDB recomputes every quantized sample
+    # (round_even = numpy banker's rounding, the exact encoder arithmetic)
+    # and derives duration/RMS/zero-crossing-rate independently — a value
+    # mismatch means the vendored PCM codec (functions/wav.py) corrupted
+    # samples
+    "audio_features": (
+        "WITH p AS (SELECT i, 200.0*(i+1) AS freq, 0.1 + 0.1*(i % 8) AS amp, "
+        "0.5 + 0.25*(i % 3) AS dur FROM range(6) t(i)), "
+        "s AS (SELECT p.i, k.k, round_even(LEAST(GREATEST("
+        "p.amp * SIN(2*PI()*p.freq*k.k/8000.0), -1.0), 1.0) * 32767.0, 0)"
+        "/32768.0 AS v FROM p, range(8000) k(k) "
+        "WHERE k.k < CAST(p.dur*8000 AS BIGINT)), "
+        "d AS (SELECT i, k, v, LAG(v) OVER (PARTITION BY i ORDER BY k) AS pv "
+        "FROM s) "
+        "SELECT CAST(i AS BIGINT) AS media_id, CAST(8000 AS INT) AS sample_rate, "
+        "ROUND(COUNT(*)/8000.0, 6) AS duration_s, "
+        "ROUND(SQRT(AVG(v*v)), 6) AS rms, "
+        "ROUND(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) != (pv < 0)) "
+        "THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 6) AS zcr "
+        "FROM d GROUP BY i"
     ),
 }
 
