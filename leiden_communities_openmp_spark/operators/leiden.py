@@ -366,7 +366,8 @@ def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOpti
                  R: float, refine: bool, local_iters: int, driver_threshold: int,
                  driver_vertex_threshold: int, num_partitions: int,
                  metrics: list, verbose: bool, checkpointer=None,
-                 start=(0, None, None, None, 0)):
+                 start=(0, None, None, None, 0),
+                 aff_seed_fraction: float = 0.02):
     """Pure-DataFrame pass loop (``rounds`` strategy) — the ≥10⁹-vertex
     fallback with NO driver-side per-vertex state: membership, vertex
     weights, and community weights all live as DataFrames; the driver holds
@@ -427,6 +428,7 @@ def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOpti
             for c in (0, 1)
         ]
         move_iters = 0
+        rounds_log: list[dict] = []   # per-round movers (S7 sink accounting)
         seed_nbrs = None              # affected-set pruning (L6) across rounds
         recent: list[DataFrame] = []  # last 4 rounds' movers+blocked (one
                                       # full color × direction cycle)
@@ -480,7 +482,7 @@ def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOpti
             # stays scannable through both color phases and both direction
             # signs (4 rounds), so no positive move is ever dropped
             recent_nm = (recent_nm + [n_all])[-4:]
-            if max(recent_nm) < 0.02 * gn and len(recent) == 4:
+            if max(recent_nm) < aff_seed_fraction * gn and len(recent) == 4:
                 seed = recent[0]
                 for r_ in recent[1:]:
                     seed = seed.unionByName(r_)
@@ -496,6 +498,9 @@ def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOpti
             # both directions) stays under tolerance; el counts blocked
             # candidates' gains, so pending blocked moves delay convergence
             recent_els.append(el)
+            rounds_log.append({"seconds": round(time.time() - t_rnd, 2),
+                               "movers": nm, "blocked": n_all - nm,
+                               "el": round(el, 6)})
             if rnd >= 3 and max(recent_els[-4:]) <= E:
                 break
         for c_ in cached:
@@ -562,6 +567,8 @@ def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOpti
                "vertices": gn, "communities": cn, "edges": int(n_edges),
                "tolerance": E, "refine_seconds": round(t_ref, 3),
                "refine_rounds": refine_rounds_done,
+               "move_seconds": round(sum(r["seconds"] for r in rounds_log), 3),
+               "rounds": rounds_log,
                "pass_seconds": round(time.time() - t0, 3)}
         metrics.append(rec)
         if verbose:
@@ -605,11 +612,13 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
     ``checkpointer``: plans.checkpoint.CheckpointManager for per-super-step
     persistence + resume.
 
-    ``aff_seed_fraction``: a round is aff-seeded (rescan only the last two
-    rounds' movers+blocked and their neighbors) when that union is below
-    this fraction of the vertices — a perf heuristic (big frontiers
-    converge faster with a full re-equilibration round), not a correctness
-    knob. ``frontier_threshold``: additionally cut the Arrow feed itself to
+    ``aff_seed_fraction``: a round is aff-seeded (rescan only recent
+    movers+blocked and their neighbors) when that union is below this
+    fraction of the vertices — a perf heuristic (big frontiers converge
+    faster with a full re-equilibration round), not a correctness knob.
+    The sweep path seeds from a 2-round window (both directions of one
+    color-free cycle); the rounds path from a 4-round window (one full
+    color × direction cycle). Applies to BOTH strategies. ``frontier_threshold``: additionally cut the Arrow feed itself to
     the seeded adjacency (JVM semi-join) when the seed is below this
     fraction; 0.0 disables (in local mode the full feed of a cached table
     beats the semi-join machinery — on a real cluster it pays).
@@ -662,7 +671,8 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         ucom, p, total_iters = _rounds_loop(
             spark, edges0, M, o, R, refine, local_iters, driver_threshold,
             driver_vertex_threshold, num_partitions, metrics, verbose,
-            checkpointer=checkpointer, start=start)
+            checkpointer=checkpointer, start=start,
+            aff_seed_fraction=aff_seed_fraction)
         t_q = time.time()
         q = modularity_df(edges0, ucom, M, R)
         metrics.append({"phase": "final_modularity", "seconds": round(time.time() - t_q, 3)})

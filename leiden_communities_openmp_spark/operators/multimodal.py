@@ -158,8 +158,14 @@ def audio_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
 
 
 def gen_wav_media_df(spark, n: int = 8, rate: int = 8000) -> DataFrame:
-    """Deterministic REAL-WAV audio table: pure sine tones with known
-    frequency/amplitude so audio_features' outputs have closed forms."""
+    """Deterministic REAL-WAV audio table: triangle tones with known
+    frequency/amplitude so audio_features' outputs have closed forms.
+
+    Triangle (not sine) on purpose: every sample derives from IEEE-exact
+    ops only (*, /, floor, abs — all correctly rounded and therefore
+    bit-identical between numpy and any SQL engine), so the DuckDB oracle
+    can recompute the exact quantized PCM samples without depending on
+    cross-engine libm SIN bit-parity at ×32767 rounding midpoints."""
     from ..functions.wav import encode_wav_pcm16
 
     rows = []
@@ -167,11 +173,31 @@ def gen_wav_media_df(spark, n: int = 8, rate: int = 8000) -> DataFrame:
         freq = 200.0 * (i + 1)
         amp = 0.1 + 0.1 * (i % 8)
         dur_s = 0.5 + 0.25 * (i % 3)
-        t = np.arange(int(rate * dur_s)) / rate
-        payload = encode_wav_pcm16(amp * np.sin(2 * np.pi * freq * t), rate)
+        k = np.arange(int(rate * dur_s), dtype=np.float64)
+        ph = k * freq / rate
+        phase = ph - np.floor(ph)
+        tri = 4.0 * np.abs(phase - 0.5) - 1.0
+        payload = encode_wav_pcm16(amp * tri, rate)
         rows.append((i, "audio", bytearray(payload), "audio/wav",
                      0, 0, int(dur_s * 1000)))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def frame_mean_luma(frames: DataFrame) -> DataFrame:
+    """Per-sampled-frame mean luminance: decode each frame payload (same
+    gate as image decode — PIL, then the vendored PNG codec, then the
+    deterministic fake) inside Arrow batches. Turns sample_frames' binary
+    output into a hashable numeric relation for the correctness gate."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            yield pd.DataFrame({
+                "media_id": b["media_id"],
+                "frame_idx": b["frame_idx"],
+                "mean_luma": [float(_decode_image(p).mean()) for p in b["frame"]],
+            })
+
+    return frames.mapInPandas(extract, "media_id long, frame_idx int, mean_luma double")
 
 
 # --- PNGV: a minimal deterministic video container (concatenated PNG
@@ -219,15 +245,22 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             rows = {"media_id": [], "frame_idx": [], "frame": []}
             for mid, payload, dur in zip(b["media_id"], b["payload"], b["duration_ms"]):
                 if payload is not None and bytes(payload[:4]) == _PNGV_MAGIC:
-                    frames, interval = decode_pngv(payload)
-                    dur = dur or len(frames) * interval
-                    ts = range(0, int(dur), every_ms)
-                    for i, t in enumerate(ts):
-                        k = min(t // max(interval, 1), len(frames) - 1)
-                        rows["media_id"].append(mid)
-                        rows["frame_idx"].append(i)
-                        rows["frame"].append(frames[k])
-                    continue
+                    # degenerate containers (truncated payload, or 0 frames
+                    # with nonzero duration) fall through to the stub path
+                    # instead of failing the whole job on one bad row
+                    try:
+                        frames, interval = decode_pngv(payload)
+                    except Exception:  # ValueError / struct.error: bad container
+                        frames = []
+                    if frames:
+                        dur = dur or len(frames) * interval
+                        ts = range(0, int(dur), every_ms)
+                        for i, t in enumerate(ts):
+                            k = min(t // max(interval, 1), len(frames) - 1)
+                            rows["media_id"].append(mid)
+                            rows["frame_idx"].append(i)
+                            rows["frame"].append(frames[k])
+                        continue
                 n = max(int((dur or 0) // every_ms), 0)
                 for i in range(n):
                     rows["media_id"].append(mid)

@@ -81,6 +81,18 @@ _GC_SYM_SQL = symmetric_sql(_GC_SQL)
 _GCT_SQL = block_circulant_sql(GCT_N, GC_B)
 _GCT_SYM_SQL = symmetric_sql(_GCT_SQL)
 
+# the UPDATED edge table after the deterministic dynamic batch (see
+# _dynamic_batch_parts): base symmetric graph minus (min+max)%17 pairs,
+# plus symmetric cross-block insertions (i, i+64 mod 512) for i%13==0
+_DYN_EDGES_SQL = (
+    f"SELECT src, dst, w FROM ({_GCT_SYM_SQL}) e "
+    "WHERE (LEAST(src, dst) + GREATEST(src, dst)) % 17 <> 0 "
+    f"UNION ALL SELECT i AS src, (i + {GC_B}) % {GCT_N} AS dst, 1.0 AS w "
+    f"FROM range({GCT_N}) t(i) WHERE i % 13 = 0 "
+    f"UNION ALL SELECT (i + {GC_B}) % {GCT_N} AS src, i AS dst, 1.0 AS w "
+    f"FROM range({GCT_N}) t(i) WHERE i % 13 = 0"
+)
+
 
 # ---------------------------------------------------------------------------
 # query implementations
@@ -207,6 +219,13 @@ def q_count_value(spark, sf_dir):
 def q_triangle_count(spark, sf_dir):
     """Companion: global triangles on the block-circulant graph."""
     return comp.triangle_count(block_circulant(spark, GCT_N, GC_B))
+
+
+def q_triangle_per_vertex(spark, sf_dir):
+    """Companion: per-vertex triangle participation on the block-circulant
+    graph."""
+    per = comp.triangle_count_per_vertex(block_circulant(spark, GCT_N, GC_B))
+    return per.select(F.col("id").cast("long"), F.col("triangles").cast("long"))
 
 
 def q_connected_components(spark, sf_dir):
@@ -351,6 +370,15 @@ def q_stopword_ratio(spark, sf_dir):
     return d.select(F.col("doc_id").cast("long"), F.round(tx.stopword_ratio("text"), 9).alias("stop_ratio"))
 
 
+def q_dedup_keep_first(spark, sf_dir):
+    """Exact-dedup survivor selection over the duplicated substrate (every
+    normalized-text group has >= 2 members, see q_exact_dupes): one row per
+    group, smallest doc_id wins (deterministic window)."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    both = d.unionByName(d.select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text"))
+    return dd.dedup_keep_first(both).select(F.col("doc_id").cast("long")).orderBy("doc_id")
+
+
 def q_exact_dupes(spark, sf_dir):
     """Exact dedup over a substrate with REAL duplicate groups: documents
     unioned with an id-shifted copy of itself, so every doc belongs to a
@@ -450,6 +478,67 @@ def q_louvain_q(spark, sf_dir):
     return _quality_row(spark, res, e)
 
 
+def _dynamic_batch_parts(spark):
+    """Deterministic super-step dynamic-update scenario on the 512-vertex
+    block-circulant graph: arithmetic deletions (existing symmetric pairs
+    with (min+max) % 17 == 0) + arithmetic insertions (cross-block pairs
+    (i, i+64 mod 512) for i % 13 == 0, absent from the base graph whose
+    blocks are disjoint components) — both closed-form SQL-expressible, so
+    the quality oracle can recompute modularity/connectivity on the UPDATED
+    graph independently."""
+    e0 = symmetricize_df(block_circulant(spark, GCT_N, GC_B))
+    dels = e0.filter((F.least("src", "dst") + F.greatest("src", "dst")) % 17 == 0)
+    base = spark.range(GCT_N).select(F.col("id").alias("src"))
+    ins = symmetricize_df(
+        base.filter(F.col("src") % 13 == 0)
+        .select("src", ((F.col("src") + GC_B) % GCT_N).alias("dst"))
+        .withColumn("w", F.lit(1.0)))
+    return e0, dels, ins
+
+
+def _run_dynamic_batch(spark):
+    """T7-T9 at super-step granularity (the one capability this engine has
+    beyond the reference's dead dynamic hooks, inc/leiden.hxx:354-395):
+    run pass 1 with checkpointing, apply a tidy batch to the checkpointed
+    super-graph through the dendrogram-so-far, then RESUME mid-dendrogram
+    on the updated base table. Fully deterministic (arithmetic batch,
+    synchronous rounds strategy, fixed tie-breaks) — captured oracle plus
+    the dynamic_batch_q closed-form quality recomputation."""
+    import tempfile
+
+    from .operators.kernel import LeidenOptions
+    from .operators.leiden import leiden_scale
+    from .plans.checkpoint import CheckpointManager
+    from .streaming.batch_updates import apply_batch, apply_batch_to_superstep
+
+    e0, dels, ins = _dynamic_batch_parts(spark)
+    kw = dict(strategy="rounds", local_iters=6, driver_threshold=0,
+              driver_vertex_threshold=0)
+    ck = CheckpointManager(tempfile.mkdtemp(prefix="dynbatch_ck_"))
+    # max_passes=2 so pass 1 COMMITS (the loop checkpoints a pass only when
+    # it continues past it) — the batch then lands on the pass-1 super-graph
+    leiden_scale(spark, e0, LeidenOptions(max_passes=2), checkpointer=ck, **kw)
+    apply_batch_to_superstep(spark, ck, dels, ins)
+    e1 = apply_batch(e0, dels, ins).localCheckpoint(eager=True)
+    res = leiden_scale(spark, e1, LeidenOptions(max_passes=4), checkpointer=ck, **kw)
+    return res, e1
+
+
+def q_dynamic_batch(spark, sf_dir):
+    """Final membership after a super-step dynamic update + resume."""
+    res, _ = _run_dynamic_batch(spark)
+    return res.membership.orderBy("id")
+
+
+def q_dynamic_batch_q(spark, sf_dir):
+    """Derived closed-form check for the captured ``dynamic_batch`` oracle:
+    (modularity 9dp, community count, disconnected count) of the resumed
+    run on the UPDATED graph, vs the same numbers recomputed in DuckDB from
+    the captured labels + the arithmetic updated-edge SQL."""
+    res, e1 = _run_dynamic_batch(spark)
+    return _quality_row(spark, res, e1)
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup candidates verified by exact Jaccard >= 0.5."""
     return dd.minhash_dedup_pairs(_docs(spark, sf_dir), threshold=0.5)
@@ -501,9 +590,12 @@ def q_image_features_png(spark, sf_dir):
 
 
 def q_audio_features(spark, sf_dir):
-    """REAL audio decode chain: WAV sine tones (vendored from-scratch PCM
-    codec, functions/wav.py) through Arrow feature extraction; the oracle
-    recomputes every quantized sample and feature from pure math in SQL."""
+    """REAL audio decode chain: WAV triangle tones (vendored from-scratch
+    PCM codec, functions/wav.py) through Arrow feature extraction; the
+    oracle recomputes every quantized sample and feature from pure math in
+    SQL. Triangle waves are transcendental-free (only IEEE-exact *, /,
+    floor, abs), so the recomputation is bit-identical across engines —
+    no cross-engine libm SIN parity assumption."""
     from .operators.multimodal import audio_features, gen_wav_media_df
     return audio_features(gen_wav_media_df(spark, 6)).select(
         "media_id", "sample_rate",
@@ -511,6 +603,45 @@ def q_audio_features(spark, sf_dir):
         F.round("rms", 6).alias("rms"),
         F.round("zero_crossing_rate", 6).alias("zcr"))
 
+
+def q_resize_images(spark, sf_dir):
+    """REAL decode → nearest-neighbor resize → re-encode → re-decode chain
+    over true PNG payloads; the oracle recomputes the resized pixel grid
+    (pixel-center source mapping) from the generator arithmetic alone."""
+    from .operators.multimodal import gen_png_media_df, image_features, resize_images
+    resized = resize_images(gen_png_media_df(spark, 32), 6, 5)
+    return image_features(resized).select(
+        "media_id", "width", "height", F.round("mean_luma", 6).alias("mean_luma"))
+
+
+def q_sample_frames(spark, sf_dir):
+    """REAL video frame sampling: PNGV container parse → timestamp→index →
+    extract + decode each sampled PNG frame; per-frame mean luminance has a
+    closed form from the frame-pixel generator arithmetic."""
+    from .operators.multimodal import frame_mean_luma, gen_pngv_media_df, sample_frames
+    fr = sample_frames(gen_pngv_media_df(spark, 4, 6, 500), every_ms=1000)
+    return frame_mean_luma(fr).select(
+        "media_id", "frame_idx", F.round("mean_luma", 6).alias("mean_luma"))
+
+
+# Keys registered SINCE the most recent driver correctness sweep
+# (CORRECTNESS_r*.json). Invariant enforced by tests/test_registry_gate.py:
+# every QUERIES key must either have a row in the latest driver correctness
+# file or be declared here (and pass tools/check_oracles.py locally before
+# registration). Clear this set once the next driver sweep lands.
+REGISTERED_THIS_ROUND = {
+    "dedup_keep_first",
+    "triangle_count_per_vertex",
+    "resize_images",
+    "sample_frames",
+    # had no row in CORRECTNESS_r03 (registered after the r3 sweep; all
+    # pass the local gate replica — see VERDICT.md round 3)
+    "image_features",
+    "image_features_png",
+    "audio_features",
+    "dynamic_batch",
+    "dynamic_batch_q",
+}
 
 QUERIES = {
     "edge_dedup": q_edge_dedup,
@@ -551,8 +682,12 @@ QUERIES = {
     "quality_score": q_quality_score,
     "stopword_ratio": q_stopword_ratio,
     "exact_dupes": q_exact_dupes,
+    "dedup_keep_first": q_dedup_keep_first,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_topk": q_cosine_topk,
+    "triangle_count_per_vertex": q_triangle_per_vertex,
+    "resize_images": q_resize_images,
+    "sample_frames": q_sample_frames,
     # rows-only (no SQL oracle)
     "leiden": q_leiden,
     "leiden_q": q_leiden_q,
@@ -564,6 +699,8 @@ QUERIES = {
     "simhash_near": q_simhash_near,
     "lsh_cosine": q_lsh_cosine,
     "ivf_cosine": q_ivf_cosine,
+    "dynamic_batch": q_dynamic_batch,
+    "dynamic_batch_q": q_dynamic_batch_q,
     "image_features": q_image_features,
     "image_features_png": q_image_features_png,
     "audio_features": q_audio_features,
@@ -705,6 +842,16 @@ ORACLES: dict[str, str] = {
         f"WITH m AS ({_MEMB_SQL}) "
         "SELECT CAST(SUM(CASE WHEN community = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n FROM m"
     ),
+    "triangle_count_per_vertex": (
+        f"WITH e AS ({_GCT_SQL}), "
+        "u AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM e UNION SELECT dst, src FROM e) s), "
+        "o AS (SELECT src, dst FROM u WHERE src < dst), "
+        "tri AS (SELECT ab.src AS a, ab.dst AS b, bc.dst AS c FROM o ab "
+        "JOIN o bc ON ab.dst = bc.src "
+        "JOIN o ac ON ac.src = ab.src AND ac.dst = bc.dst), "
+        "ids AS (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) "
+        "SELECT CAST(id AS BIGINT) AS id, COUNT(*) AS triangles FROM ids GROUP BY id"
+    ),
     "triangle_count": (
         f"WITH e AS ({_GCT_SQL}), "
         "u AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM e UNION SELECT dst, src FROM e) s), "
@@ -811,6 +958,13 @@ ORACLES: dict[str, str] = {
         "array_to_string(list_sort(list(doc_id)), ',') AS doc_ids FROM n "
         "GROUP BY norm HAVING COUNT(*) >= 2 ORDER BY doc_ids"
     ),
+    "dedup_keep_first": (
+        "WITH d AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents "
+        "UNION ALL SELECT CAST(doc_id AS BIGINT) + 10000000, text FROM documents), "
+        "n AS (SELECT doc_id, regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g') AS norm "
+        "FROM d) "
+        "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM n GROUP BY norm ORDER BY doc_id"
+    ),
     "ngram_jaccard": (
         # mirrors ngram_jaccard_pairs(max_df=1000): candidates restricted to
         # pairs sharing a sub-hot shingle, exact jaccard on full sets
@@ -856,17 +1010,49 @@ ORACLES: dict[str, str] = {
         "CAST(h AS INT) AS height, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_luma "
         "FROM px GROUP BY i, w, h"
     ),
+    # closed-form oracle for decode → nearest-neighbor resize (6×5) →
+    # re-encode → re-decode: the resample's pixel-center source mapping
+    # (functions/png.py resize_nearest: sy = min(floor((ry+0.5)*h/H), h-1))
+    # is recomputed from the generator arithmetic — a mismatch means either
+    # the resample indexing or a codec round-trip corrupted pixels
+    "resize_images": (
+        "WITH m AS (SELECT i, 8 + (i % 3) * 8 AS w, 8 + (i % 4) * 4 AS h "
+        "FROM range(32) t(i)), "
+        "px AS (SELECT m.i, "
+        "LEAST(CAST(FLOOR((ry.ry + 0.5) * m.h / 5.0) AS BIGINT), m.h - 1) AS sy, "
+        "LEAST(CAST(FLOOR((rx.rx + 0.5) * m.w / 6.0) AS BIGINT), m.w - 1) AS sx "
+        "FROM m, range(5) ry(ry), range(6) rx(rx)), "
+        "v AS (SELECT px.i, CASE WHEN px.i % 2 = 0 THEN (sy * 17 + sx * 31 + px.i) % 256 "
+        "ELSE ((sy // 2 + sx // 2 + px.i) % 2) * 255 END AS v FROM px) "
+        "SELECT CAST(i AS BIGINT) AS media_id, CAST(6 AS INT) AS width, "
+        "CAST(5 AS INT) AS height, ROUND(AVG(CAST(v AS DOUBLE)), 6) AS mean_luma "
+        "FROM v GROUP BY i"
+    ),
+    # closed-form oracle for PNGV frame sampling: 4 videos × 6 frames at
+    # 500ms, sampled every 1000ms → timestamps 0/1000/2000 hit frame
+    # indices 0/2/4; per-frame mean luma recomputed from the 8×8 pixel
+    # generator arithmetic ((y*3 + x*5 + v*11 + k*29) % 256)
+    "sample_frames": (
+        "WITH s AS (SELECT v.v, i.i, i.i * 2 AS k FROM range(4) v(v), range(3) i(i)), "
+        "px AS (SELECT s.v, s.i, (y.y * 3 + x.x * 5 + s.v * 11 + s.k * 29) % 256 AS val "
+        "FROM s, range(8) y(y), range(8) x(x)) "
+        "SELECT CAST(v AS BIGINT) AS media_id, CAST(i AS INT) AS frame_idx, "
+        "ROUND(AVG(CAST(val AS DOUBLE)), 6) AS mean_luma FROM px GROUP BY v, i"
+    ),
     # closed-form oracle for the REAL WAV decode chain: gen_wav_media_df's
-    # sine tones are pure math, so DuckDB recomputes every quantized sample
-    # (round_even = numpy banker's rounding, the exact encoder arithmetic)
-    # and derives duration/RMS/zero-crossing-rate independently — a value
-    # mismatch means the vendored PCM codec (functions/wav.py) corrupted
-    # samples
+    # triangle tones are pure IEEE-exact math (*, /, floor, abs — each
+    # correctly rounded, hence bit-identical between numpy and DuckDB; no
+    # libm transcendental involved), so DuckDB recomputes every quantized
+    # sample (round_even = numpy banker's rounding, the exact encoder
+    # arithmetic) and derives duration/RMS/zero-crossing-rate independently
+    # — a value mismatch means the vendored PCM codec (functions/wav.py)
+    # corrupted samples
     "audio_features": (
         "WITH p AS (SELECT i, 200.0*(i+1) AS freq, 0.1 + 0.1*(i % 8) AS amp, "
         "0.5 + 0.25*(i % 3) AS dur FROM range(6) t(i)), "
         "s AS (SELECT p.i, k.k, round_even(LEAST(GREATEST("
-        "p.amp * SIN(2*PI()*p.freq*k.k/8000.0), -1.0), 1.0) * 32767.0, 0)"
+        "p.amp * (4.0*ABS(((k.k*p.freq/8000.0) - FLOOR(k.k*p.freq/8000.0)) - 0.5) - 1.0)"
+        ", -1.0), 1.0) * 32767.0, 0)"
         "/32768.0 AS v FROM p, range(8000) k(k) "
         "WHERE k.k < CAST(p.dur*8000 AS BIGINT)), "
         "d AS (SELECT i, k, v, LAG(v) OVER (PARTITION BY i ORDER BY k) AS pv "
@@ -927,8 +1113,10 @@ try:
     ORACLES.update(VALUE_ORACLES)
     # derived quality oracles over the captured label sets (see
     # _partition_quality_sql): only defined when a capture exists
-    for _k, _qk in (("leiden", "leiden_q"), ("louvain", "louvain_q")):
+    for _k, _qk, _esql in (("leiden", "leiden_q", _GC_SYM_SQL),
+                           ("louvain", "louvain_q", _GC_SYM_SQL),
+                           ("dynamic_batch", "dynamic_batch_q", _DYN_EDGES_SQL)):
         if _k in VALUE_ORACLES:
-            ORACLES[_qk] = _partition_quality_sql(VALUE_ORACLES[_k], _GC_SYM_SQL)
+            ORACLES[_qk] = _partition_quality_sql(VALUE_ORACLES[_k], _esql)
 except ImportError:  # pre-capture checkout: those queries grade rows-only
     pass

@@ -59,11 +59,16 @@ def result_row(result, *, graph: str, technique: str, cores: int,
     BUILD_TRACE is on, main.cxx:63-71).
     """
     ms = lambda s: round(1000.0 * s, 3)
-    phases = {m.get("phase"): m for m in result.metrics if "phase" in m}
+    # sum over ALL phase records (NOT a name-keyed dict): repeated phase
+    # names — final_modularity after a resume, dynamic_batch — must each
+    # contribute to the total instead of collapsing to the last record
+    phase_recs = [m for m in result.metrics if "phase" in m]
     passes = [m for m in result.metrics if "pass" in m]
     first = passes[0] if passes else {}
     total_s = sum(m.get("pass_seconds", 0.0) for m in result.metrics) \
-        + sum(m.get("seconds", 0.0) for m in phases.values())
+        + sum(m.get("seconds", 0.0) for m in phase_recs)
+    setup_s = sum(m.get("seconds", 0.0) for m in phase_recs
+                  if m.get("phase") == "setup")
     affected = sum(r.get("movers", 0)
                    for m in passes for r in m.get("rounds", []))
     disc = tot = ""
@@ -82,7 +87,7 @@ def result_row(result, *, graph: str, technique: str, cores: int,
         "size": size if size is not None else "",
         "time": ms(total_s),
         "marking_time": 0.0,
-        "initialization_time": ms(phases.get("setup", {}).get("seconds", 0.0)),
+        "initialization_time": ms(setup_s),
         "first_pass_time": ms(first.get("pass_seconds", 0.0)),
         "local_moving_phase_time": ms(sum(m.get("move_seconds", 0.0) for m in passes)),
         "refinement_phase_time": ms(sum(m.get("refine_seconds", 0.0) for m in passes)),

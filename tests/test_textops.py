@@ -284,10 +284,11 @@ def test_sample_frames_real_pngv_chain(spark):
 
 
 def test_audio_features_real_wav_chain(spark):
-    """audio_features on real WAV sine tones: duration exact, RMS within
-    0.5% of amp/sqrt(2), ZCR within 2% of 2f/rate — i.e. the REAL decode
-    ran, not the byte fake. A non-WAV payload takes the fake path and
-    reports the nominal fake rate."""
+    """audio_features on real WAV triangle tones (transcendental-free
+    fixture — see gen_wav_media_df): duration exact, RMS within 0.5% of
+    the triangle-wave closed form amp/sqrt(3), ZCR within 2% of 2f/rate —
+    i.e. the REAL decode ran, not the byte fake. A non-WAV payload takes
+    the fake path and reports the nominal fake rate."""
     import numpy as np
 
     from leiden_communities_openmp_spark.functions.wav import decode_wav, encode_wav_pcm16
@@ -305,7 +306,14 @@ def test_audio_features_real_wav_chain(spark):
         r = out[i]
         assert r["sample_rate"] == rate
         assert abs(r["duration_s"] - dur) < 1.0 / rate
-        assert abs(r["rms"] - amp / np.sqrt(2)) < 0.005 * amp
+        # exact discrete expectation: recompute the triangle samples with
+        # the fixture formula (the DISCRETE RMS differs from the continuous
+        # amp/sqrt(3) by up to ~6% at 8 samples/period); only 16-bit
+        # quantization noise should remain
+        k = np.arange(int(rate * dur), dtype=np.float64)
+        ph = k * freq / rate
+        tri = amp * (4.0 * np.abs((ph - np.floor(ph)) - 0.5) - 1.0)
+        assert abs(r["rms"] - float(np.sqrt(np.mean(tri * tri)))) < 1e-4
         assert abs(r["zero_crossing_rate"] - 2 * freq / rate) < 0.02
 
     # round-trip sanity of the codec itself (stereo averaging incl.)

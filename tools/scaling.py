@@ -81,8 +81,15 @@ if job == "leiden":
         if m.get("phase") == "final_modularity":
             phases["final"] = phases.get("final", 0.0) + m["seconds"]
     phases["other"] = dt - sum(phases.values())
+    # actual work: each pass processes ITS OWN edge table (passes 2+ run on
+    # much smaller coarse graphs), so edges*passes overstates work — sum
+    # the per-pass real edge counts instead (driver-kernel finishes weight
+    # their edge count by the kernel passes they cover)
+    work_edges = sum(m.get("edges", 0) * max(m.get("kernel_passes", 1), 1)
+                     for m in res.metrics if "pass" in m)
     print("RESULT " + json.dumps({
         "cpus": cpus, "edges": n_edges, "seconds": round(dt, 3),
+        "work_edges": int(work_edges),
         "move_seconds": round(move_secs, 3), "sweep_passes": sweep_passes,
         "passes": res.passes, "modularity": round(res.modularity, 9),
         "labels_md5": h,
