@@ -98,7 +98,7 @@ def main():
         res_holder["rounds"] = res
         return res.membership.count()
 
-    timed("leiden_rounds_fallback", _leiden_rounds, reps=min(n_reps, 2))
+    timed("leiden_rounds_fallback", _leiden_rounds)
     rr = res_holder["rounds"]
     extra["leiden_rounds_fallback"] = {
         "modularity": round(rr.modularity, 6), "passes": rr.passes,

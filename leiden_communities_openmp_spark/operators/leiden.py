@@ -216,7 +216,8 @@ def _compose(outer: DataFrame, inner: DataFrame, n_inner: int | None = None) -> 
 def _move_round(edges: DataFrame, memb: DataFrame, vtot: DataFrame, ctot: DataFrame,
                 M: float, R: float, aff: DataFrame | None = None,
                 bound: DataFrame | None = None, refine: bool = False,
-                direction: int = 0, broadcast_ctot: bool = True) -> DataFrame:
+                direction: int = 0, broadcast_ctot: bool = True,
+                src_pred=None) -> DataFrame:
     """One bulk-synchronous local-move round (``rounds`` strategy) → moves
     (id, community_new, gain): strictly-positive-gain argmax over scanned
     communities (L1+L2: inc/properties.hxx:253-256, inc/leiden.hxx:492-502)
@@ -232,23 +233,33 @@ def _move_round(edges: DataFrame, memb: DataFrame, vtot: DataFrame, ctot: DataFr
     seed so the move is retried when the direction flips.
     ``broadcast_ctot=False`` lets AQE plan the ctot joins instead of
     forcing a broadcast — required past ~10⁸ communities where the
-    broadcast itself is the ceiling."""
-    ms = memb.select(F.col("id").alias("src"), F.col("community").alias("d"))
-    md = memb.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+    broadcast itself is the ceiling. ``src_pred``: an arithmetic per-vertex
+    predicate (a Column over ``src``, e.g. a hash-color class) applied as a
+    whole-stage-codegen FILTER on the edge scan — set membership that is a
+    pure function of the id needs no materialized table and no semi-join."""
+    # O(|V|) state relations (membership, weights, bounds) are explicitly
+    # broadcast under the same budget flag as ctot: stats-reset checkpoints
+    # carry DEFAULT size estimates, so without the hint Catalyst shuffle-
+    # joins the (huge) edge relation against each tiny state table — the
+    # exact join shape this strategy exists to avoid below ~10⁸ vertices
+    hint = F.broadcast if broadcast_ctot else (lambda df: df)
+    ms = hint(memb.select(F.col("id").alias("src"), F.col("community").alias("d")))
+    md = hint(memb.select(F.col("id").alias("dst"), F.col("community").alias("cd")))
 
     e = edges.filter(F.col("src") != F.col("dst"))  # scan skips self (inc/leiden.hxx:414)
+    if src_pred is not None:
+        e = e.filter(src_pred)
     if aff is not None:
-        e = e.join(aff.select(F.col("id").alias("src")), "src", "left_semi")
+        e = e.join(hint(aff.select(F.col("id").alias("src"))), "src", "left_semi")
     if refine and bound is not None:
-        bs = bound.select(F.col("id").alias("src"), F.col("bound").alias("bs"))
-        bd = bound.select(F.col("id").alias("dst"), F.col("bound").alias("bd"))
+        bs = hint(bound.select(F.col("id").alias("src"), F.col("bound").alias("bs")))
+        bd = hint(bound.select(F.col("id").alias("dst"), F.col("bound").alias("bd")))
         e = e.join(bs, "src").join(bd, "dst").filter(F.col("bs") == F.col("bd")).drop("bs", "bd")
 
-    hint = F.broadcast if broadcast_ctot else (lambda df: df)
     vcout = e.join(md, "dst").groupBy("src", "cd").agg(F.sum("w").alias("vcout"))  # A4
     cand = (
         vcout.join(ms, "src")
-        .join(vtot.select(F.col("id").alias("src"), "vtot"), "src")
+        .join(hint(vtot.select(F.col("id").alias("src"), "vtot")), "src")
         .join(hint(ctot.select(F.col("community").alias("cd"), F.col("ctot").alias("ctot_c"))), "cd")
         .join(hint(ctot.select(F.col("community").alias("d"), F.col("ctot").alias("ctot_d"))), "d")
     )
@@ -409,7 +420,8 @@ def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOpti
         vt = _materialize(vertex_weights(g))               # A2
         gn = vt.count()
         big = gn > _BROADCAST_VERTEX_LIMIT
-        memb = _materialize(vt.select("id", F.col("id").alias("community")))
+        # pure projections of the checkpointed vt — no extra materialization
+        memb = vt.select("id", F.col("id").alias("community"))
         ctot = vt.select(F.col("id").alias("community"), F.col("vtot").alias("ctot"))
 
         # red-black rounds: each round only one deterministic hash-color
@@ -422,10 +434,11 @@ def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOpti
         # the same round, which the direction constraint makes impossible.
         # Direction-blocked positive movers are re-seeded (gain-NULL rows
         # from _move_round) so the move is retried when the sign flips.
-        colors = [
-            _materialize(vt.select("id").filter(
-                F.pmod(F.xxhash64("id"), F.lit(2)) == c))
-            for c in (0, 1)
+        # The color class is a pure hash of the vertex id, so it is a
+        # codegen FILTER on the edge scan (src_pred) — no materialized
+        # color tables, no semi-join.
+        color_preds = [
+            F.pmod(F.xxhash64(F.col("src")), F.lit(2)) == c for c in (0, 1)
         ]
         move_iters = 0
         rounds_log: list[dict] = []   # per-round movers (S7 sink accounting)
@@ -438,15 +451,13 @@ def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOpti
         for rnd in range(local_iters):
             t_rnd = time.time()
             direction = -1 if (rnd // 2) % 2 == 0 else 1
-            aff = colors[rnd % 2]
-            if seed_nbrs is not None:
-                aff = aff.join(seed_nbrs, "id", "left_semi")
             # one action materializes the move job AND collects the
             # convergence stats (persist + agg) — applied movers have a
             # gain, direction-blocked positive movers carry gain NULL
-            moves = _move_round(g, memb, vt, ctot, M, R, aff=aff,
+            moves = _move_round(g, memb, vt, ctot, M, R, aff=seed_nbrs,
                                 direction=direction,
-                                broadcast_ctot=not big).persist()
+                                broadcast_ctot=not big,
+                                src_pred=color_preds[rnd % 2]).persist()
             row = moves.agg(
                 F.count("gain").alias("n"),
                 F.count("*").alias("n_all"),
@@ -471,6 +482,10 @@ def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOpti
                     .select("id", "community_new")
                 if nm <= _broadcast_row_limit(spark):
                     mv_sel = F.broadcast(mv_sel)
+                # materialized every round: an un-checkpointed broadcast-join
+                # chain re-BUILDS its broadcast relations (a nested job each)
+                # at every reference — measured 2× slower than the one
+                # localCheckpoint per round it would save
                 memb = _materialize(
                     memb.join(mv_sel, "id", "left")
                     .select("id", F.coalesce("community_new", "community").alias("community")))
@@ -527,7 +542,9 @@ def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOpti
             # paths' job; three rounds capture star+chain merges to depth 3,
             # and unmerged singletons are re-examined next pass.
             bound_df = memb.select("id", F.col("community").alias("bound"))
-            memb_r = _materialize(vt.select("id", F.col("id").alias("community")))
+            # singleton re-init is a pure projection of the checkpointed vt
+            # — no materialization needed
+            memb_r = vt.select("id", F.col("id").alias("community"))
             ctot_r = vt.select(F.col("id").alias("community"), F.col("vtot").alias("ctot"))
             for rr in range(3):
                 rdir = -1 if rr % 2 == 0 else 1
@@ -551,7 +568,10 @@ def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOpti
                 memb_r = _materialize(
                     memb_r.join(acc_sel, "id", "left")
                     .select("id", F.coalesce("community_new", "community").alias("community")))
-                ctot_r = _materialize(community_weights(memb_r, vt))
+                # ctot_r feeds the NEXT refine round only — skip it after
+                # the last one (one fewer action per pass)
+                if rr < 2:
+                    ctot_r = _materialize(community_weights(memb_r, vt))
                 mv.unpersist()
             memb = memb_r
         t_ref = time.time() - t_ref0
