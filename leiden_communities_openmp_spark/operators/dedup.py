@@ -385,6 +385,104 @@ def ivf_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
     )
 
 
+def lsh_cosine_topk_banded(embeddings: DataFrame, queries: DataFrame,
+                           k: int = 5, planes: int = 16, bands: int = 4,
+                           seed: int = 42, id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """Banded random-hyperplane LSH ANN — the production-parameter shape.
+
+    ``planes`` sign bits split into ``bands`` contiguous bands (planes/bands
+    bits each); a corpus vector is a candidate for a query iff they agree on
+    ALL bits of at least one band (the MinHash-LSH band trick applied to
+    hyperplane signatures). Single-table LSH at 16+ planes shatters the
+    space into 2^16 buckets and recall collapses; banding keeps the
+    collision probability per band at cos-similarity^(planes/bands) while
+    the candidate set stays sub-linear. Exact cosine re-rank on candidates.
+
+    Scale plan: signature computation is whole-stage codegen (no Python);
+    candidates come from ``bands`` equi-joins on (band, band_code) — each a
+    hash join on a 2^(planes/bands)-bucket key, skew-handled by AQE; the
+    re-rank touches candidates only."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"])
+    hyper = rng.randn(planes, dim)
+    bits_per_band = planes // bands
+
+    def band_codes(vc):
+        codes = []
+        for b in range(bands):
+            code = None
+            for p in range(b * bits_per_band, (b + 1) * bits_per_band):
+                plane = F.array(*[F.lit(float(x)) for x in hyper[p]])
+                bit = F.when(_dot(vc, plane) >= 0, F.lit(1).cast("long")) \
+                    .otherwise(F.lit(0).cast("long"))
+                code = bit if code is None else code * 2 + bit
+            codes.append(code)
+        return codes
+
+    def with_bands(df, idc):
+        codes = band_codes(F.col("v"))
+        return df.select(
+            idc, "v",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"), codes[b].alias("code"))
+                for b in range(bands)])).alias("bc"),
+        ).select(idc, "v", F.col("bc.band").alias("band"), F.col("bc.code").alias("code"))
+
+    corpus = with_bands(
+        embeddings.select(F.col(id_col).alias("neighbor_id"),
+                          F.col(vec_col).cast("array<double>").alias("v")),
+        "neighbor_id").withColumnRenamed("v", "nv")
+    qs = with_bands(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("v")),
+        "query_id").withColumnRenamed("v", "qv")
+
+    cand = (
+        qs.join(corpus, ["band", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("qv"), F.col("nv"))
+        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("nv"), F.col("nv")))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 9).alias("cosine"), "rank")
+    )
+
+
+def clustered_embeddings(spark, n: int = 100_000, dim: int = 32,
+                         clusters: int = 256, noise_scale: float = 0.2) -> DataFrame:
+    """Deterministic clustered embedding fixture at ANN-recall scale: pure
+    integer arithmetic over spark.range (fully distributed generation, no
+    driver data), ``clusters`` planted centers (spread ±1 per dim) + a
+    prime-modulus hash noise of amplitude ±noise_scale/2 per dim — small
+    noise makes neighbors strictly same-cluster (easy), large noise pushes
+    true neighbors across quantizer-cell boundaries so recall@k curves
+    against probe depth are informative rather than saturated. Noise comes
+    from xxhash64 (true avalanche), NOT a linear congruence — an LCG mod m
+    makes every id pair ≡ mod m share its entire noise vector, silently
+    planting near-duplicate twins that saturate any recall measure."""
+    c = (F.col("id") % clusters).cast("long")
+    cols = []
+    for d in range(dim):
+        center = F.pmod(F.xxhash64(c, F.lit(-d - 1)), F.lit(2000)) / 1000.0 - 1.0
+        noise = (F.pmod(F.xxhash64(F.col("id"), F.lit(d)), F.lit(10000)) / 10000.0
+                 - 0.5) * noise_scale
+        cols.append((center + noise).cast("float"))
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*cols).cast("array<float>").alias("embedding"))
+
+
 def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
                     planes: int = 4, seed: int = 42, id_col: str = "vec_id",
                     vec_col: str = "embedding") -> DataFrame:

@@ -566,6 +566,15 @@ def q_lsh_cosine(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def q_lsh_cosine_banded(spark, sf_dir):
+    """Banded hyperplane LSH ANN at production signature width (16 planes,
+    4 bands) — recall-tested at 100k vectors in tests/test_ann_scale.py."""
+    e = _emb(spark, sf_dir)
+    q = e.filter(F.col("vec_id") < 8)
+    out = dd.lsh_cosine_topk_banded(e, q, k=5, planes=16, bands=4)
+    return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+
+
 def q_ivf_cosine(spark, sf_dir):
     """IVF-Flat cosine ANN (coarse quantizer + nprobe cell search)."""
     e = _emb(spark, sf_dir)
@@ -641,6 +650,7 @@ REGISTERED_THIS_ROUND = {
     "audio_features",
     "dynamic_batch",
     "dynamic_batch_q",
+    "lsh_cosine_banded",
 }
 
 QUERIES = {
@@ -698,6 +708,7 @@ QUERIES = {
     "simhash": q_simhash,
     "simhash_near": q_simhash_near,
     "lsh_cosine": q_lsh_cosine,
+    "lsh_cosine_banded": q_lsh_cosine_banded,
     "ivf_cosine": q_ivf_cosine,
     "dynamic_batch": q_dynamic_batch,
     "dynamic_batch_q": q_dynamic_batch_q,
