@@ -94,6 +94,34 @@ def test_minhash_lsh_no_cartesian(spark, sf):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_banded_lsh_no_cartesian(spark, sf):
+    """Banded hyperplane LSH candidates must come from (band, code)
+    equi-joins — never a cross join of the corpus — and the signature
+    computation must stay inside whole-stage codegen (no Python UDF)."""
+    from leiden_communities_openmp_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["lsh_cosine_banded"](spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_assignment_broadcasts_centroids(spark, sf):
+    """IVF coarse assignment must broadcast the centroid table (plan size
+    O(1) in nlist), never shuffle the corpus against it."""
+    from leiden_communities_openmp_spark.operators.dedup import ivf_cosine_topk
+    from leiden_communities_openmp_spark.queries import _emb
+
+    e = _emb(spark, sf)
+    plan = _plan(ivf_cosine_topk(e, e.filter(F.col("vec_id") < 4), k=3,
+                                 nlist=8, nprobe=2, lloyd_iters=1))
+    assert "CartesianProduct" not in plan
+    # centroid joins appear as broadcast nested-loop (hinted cross of a
+    # 8-row table) or broadcast hash — either way the corpus side must not
+    # be exchanged for them beyond its scan
+    assert "BroadcastExchange" in plan
+
+
 def test_aggregate_graph_broadcasts_membership(spark, sf):
     """A9 on a small membership: relabel joins must broadcast the
     membership map, not shuffle the edge relation twice."""
