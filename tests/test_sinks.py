@@ -63,6 +63,17 @@ def test_distributed_run_affected_vertices(spark):
     assert row["disconnected_communities"] == ""
 
 
+def test_rounds_run_affected_vertices(spark):
+    """Rounds-strategy passes now carry per-round mover logs too (round-3
+    advice: they were silently 0), so the sink's affected_vertices tally
+    covers BOTH distributed strategies."""
+    edges, res = _run(spark, strategy="rounds", local_iters=4,
+                      driver_threshold=0, driver_vertex_threshold=0)
+    row = result_row(res, graph="karate", technique="leidenSparkRounds", cores=8)
+    assert row["affected_vertices"] > 0
+    assert row["local_moving_phase_time"] > 0
+
+
 def test_csv_dir_per_graph(spark, tmp_path):
     edges, res = _run(spark)
     rows = [result_row(res, graph=g, technique="leidenSpark", cores=8)
