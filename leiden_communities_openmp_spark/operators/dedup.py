@@ -541,3 +541,90 @@ def lsh_cosine_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5,
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cosine", 9).alias("cosine"), "rank")
     )
+
+def embedding_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: every unordered pair
+    (a < b) with cosine similarity >= ``threshold``. Brute-force referee —
+    the self-join is the documented scale ceiling (same role cosine_topk
+    plays for ANN); ``lsh_near_dup_pairs`` is the sub-quadratic path whose
+    recall is measured against this. Columns (a, b, cosine)."""
+    sides = []
+    for name in ("a", "b"):
+        vc = F.col(vec_col).cast("array<double>")
+        sides.append(embeddings.select(
+            F.col(id_col).alias(name),
+            vc.alias(f"v_{name}"),
+            F.sqrt(_dot(vc, vc)).alias(f"n_{name}")))
+    return (
+        sides[0].join(sides[1], F.col("a") < F.col("b"))
+        .withColumn("cosine", _dot(F.col("v_a"), F.col("v_b"))
+                    / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 9).alias("cosine"))
+    )
+
+
+def lsh_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                       planes: int = 16, bands: int = 4, seed: int = 42,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup at scale: banded random-hyperplane LSH
+    self-join for candidates (a pair is a candidate iff its sign signatures
+    agree on ALL bits of >= 1 band), then EXACT cosine verification — only
+    survivors >= ``threshold`` are returned, so precision is 1.0 by
+    construction and recall is the only approximation (measured in
+    tests/test_ann_scale.py against embedding_near_dup_pairs).
+
+    Scale plan: signatures are whole-stage-codegen column expressions; the
+    candidate join is ``bands`` equi-joins on (band, band_code) — hash joins
+    on a 2^(planes/bands)-bucket key, AQE-handled skew; a < b halves the
+    candidate space and kills self-pairs before the verify. At a near-dup
+    threshold (cos >= 0.95 -> bit-agreement p ~ 0.9 per plane) a 4-bit band
+    collides with p ~ 0.66, so 4 bands miss a true pair with p ~ 1.5%."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    first = embeddings.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(first["d"])
+    hyper = rng.randn(planes, dim)
+    bits_per_band = planes // bands
+
+    vc = F.col(vec_col).cast("array<double>")
+    base = embeddings.select(F.col(id_col).alias("id"), vc.alias("v"))
+    codes = []
+    for b in range(bands):
+        code = None
+        for p in range(b * bits_per_band, (b + 1) * bits_per_band):
+            plane = F.array(*[F.lit(float(x)) for x in hyper[p]])
+            bit = F.when(_dot(F.col("v"), plane) >= 0,
+                         F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+            code = bit if code is None else code * 2 + bit
+        codes.append(code)
+    sig = base.select(
+        "id", "v",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"), codes[b].alias("code"))
+            for b in range(bands)])).alias("bc"),
+    ).select("id", "v", F.col("bc.band").alias("band"),
+             F.col("bc.code").alias("code"))
+
+    left = sig.select(F.col("id").alias("a"), F.col("v").alias("v_a"),
+                      "band", "code")
+    right = sig.select(F.col("id").alias("b"), F.col("v").alias("v_b"),
+                       "band", "code")
+    cand = (
+        left.join(right, ["band", "code"])
+        .filter(F.col("a") < F.col("b"))
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        cand.withColumn(
+            "cosine",
+            _dot(F.col("v_a"), F.col("v_b"))
+            / (F.sqrt(_dot(F.col("v_a"), F.col("v_a")))
+               * F.sqrt(_dot(F.col("v_b"), F.col("v_b")))))
+        .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 9).alias("cosine"))
+    )

@@ -575,6 +575,37 @@ def q_lsh_cosine_banded(spark, sf_dir):
     return out.select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
 
 
+def _emb_with_twins(spark, sf_dir):
+    """Embeddings table plus deterministic planted near-duplicate twins:
+    every vec_id % 50 == 0 vector gets a copy at vec_id + 100000 with each
+    dimension scaled by 1 + ((vec_id*31 + (i+1)*17) % 7 - 3)/100 (i 0-based
+    here, 1-based in the oracle SQL). Twin-pair cosine lands at ~0.9998
+    while the base fixture's max pairwise cosine is 0.51, so threshold 0.99
+    selects exactly the planted pairs — a non-vacuous near-dup substrate
+    (same principle as the duplicated exact-dedup substrate)."""
+    e = _emb(spark, sf_dir)
+    orig = F.col("vec_id")
+    # perturb BEFORE re-aliasing the id: putting the transform in the same
+    # select as `(vec_id + 100000).alias("vec_id")` makes Spark's lateral
+    # column alias resolution bind the lambda's vec_id to the SHIFTED id
+    # (verified: cosine drops to the +100000-seeded value)
+    twins = (
+        e.filter(orig % 50 == 0)
+        .withColumn("embedding", F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x * (1.0 + ((orig * 31 + (i + 1) * 17) % 7 - 3) / 100.0)))
+        .select((orig + 100000).alias("vec_id"), "embedding"))
+    return e.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(twins)
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    """Exact embedding-cosine near-duplicate pairs (cos >= 0.99) over the
+    twin-planted substrate — the brute-force referee; lsh_near_dup_pairs is
+    the sub-quadratic path, recall-tested in tests/test_ann_scale.py."""
+    out = dd.embedding_near_dup_pairs(_emb_with_twins(spark, sf_dir), threshold=0.99)
+    return out.select("a", "b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_ivf_cosine(spark, sf_dir):
     """IVF-Flat cosine ANN (coarse quantizer + nprobe cell search)."""
     e = _emb(spark, sf_dir)
@@ -651,6 +682,7 @@ REGISTERED_THIS_ROUND = {
     "dynamic_batch",
     "dynamic_batch_q",
     "lsh_cosine_banded",
+    "embedding_near_dup",
 }
 
 QUERIES = {
@@ -710,6 +742,7 @@ QUERIES = {
     "lsh_cosine": q_lsh_cosine,
     "lsh_cosine_banded": q_lsh_cosine_banded,
     "ivf_cosine": q_ivf_cosine,
+    "embedding_near_dup": q_embedding_near_dup,
     "dynamic_batch": q_dynamic_batch,
     "dynamic_batch_q": q_dynamic_batch_q,
     "image_features": q_image_features,
@@ -1005,6 +1038,23 @@ ORACLES: dict[str, str] = {
         "ORDER BY cosine DESC, neighbor_id ASC) AS rn FROM scored) "
         "SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine, CAST(rn AS INT) AS rank "
         "FROM ranked WHERE rn <= 5"
+    ),
+    # exact near-dup pairs over the twin-planted substrate: the oracle
+    # replants the same deterministic twins (1-based list index i here,
+    # 0-based in the Spark transform — both evaluate (vec_id*31 + d*17) for
+    # dimension d = 1..64) and brute-forces every pair. list_dot_product is
+    # an in-order fold like Spark's aggregate(zip_with(...)), so 6dp rounds
+    # agree.
+    "embedding_near_dup": (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "
+        "tw AS (SELECT vec_id + 100000 AS tid, "
+        "list_transform(e, (x, i) -> x * (1 + ((vec_id*31 + i*17) % 7 - 3)/100.0)) AS e "
+        "FROM v WHERE vec_id % 50 = 0), "
+        "allv AS (SELECT vec_id, e FROM v UNION ALL SELECT tid AS vec_id, e FROM tw), "
+        "p AS (SELECT x.vec_id AS a, y.vec_id AS b, "
+        "list_dot_product(x.e, y.e)/(sqrt(list_dot_product(x.e, x.e))*sqrt(list_dot_product(y.e, y.e))) AS cosine "
+        "FROM allv x JOIN allv y ON x.vec_id < y.vec_id) "
+        "SELECT a, b, ROUND(cosine, 6) AS cosine FROM p WHERE cosine >= 0.99"
     ),
     # closed-form oracle for the REAL PNG decode chain: gen_png_media_df's
     # pixel patterns are pure arithmetic, so DuckDB recomputes each image's

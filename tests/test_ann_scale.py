@@ -102,3 +102,35 @@ def test_clustered_regime_high_recall(spark):
                     truth, n_truth)
     assert r_ivf >= 0.95, r_ivf
     assert r_lsh >= 0.90, r_lsh
+
+def test_lsh_near_dup_recall_and_precision(spark):
+    """Embedding-cosine near-dup, sub-quadratic path: banded LSH candidate
+    self-join + exact verify vs the brute-force referee. Precision is 1.0
+    by construction (exact verify); at a true near-dup threshold (planted
+    twins, cos ≈ 0.9998 → per-4-bit-band collision ~0.66) recall across 4
+    bands must be ≥ 0.9 and here is exactly 1.0 on the planted set."""
+    from leiden_communities_openmp_spark.operators.dedup import (
+        embedding_near_dup_pairs, lsh_near_dup_pairs,
+    )
+    from leiden_communities_openmp_spark.queries import _emb_with_twins
+
+    emb = _emb_with_twins(spark, "/root/testdata/sf0.01").localCheckpoint(eager=True)
+    exact = {(r["a"], r["b"]) for r in
+             embedding_near_dup_pairs(emb, threshold=0.99).collect()}
+    approx = {(r["a"], r["b"]) for r in
+              lsh_near_dup_pairs(emb, threshold=0.99, planes=16, bands=4).collect()}
+    assert exact, "vacuous referee — twin planting broke"
+    assert approx <= exact, "precision < 1: exact verify must filter every false candidate"
+    assert len(approx & exact) / len(exact) >= 0.9, (len(approx), len(exact))
+
+
+def test_lsh_near_dup_no_cartesian(spark):
+    """The near-dup candidate join must be an equi-join on (band, code) —
+    never a cartesian product."""
+    from leiden_communities_openmp_spark.operators.dedup import lsh_near_dup_pairs
+    from leiden_communities_openmp_spark.operators.dedup import clustered_embeddings
+
+    emb = clustered_embeddings(spark, 2_000, 16, 64, noise_scale=0.2)
+    plan = lsh_near_dup_pairs(emb, threshold=0.95)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
