@@ -80,6 +80,26 @@ def fingerprint(text: str | Column, modulus: int = 2**61 - 1) -> Column:
     return F.xxhash64(norm)
 
 
+def rolling_fingerprint(text: str | Column, base: int = 31,
+                        mod: int = 2**31 - 1, prefix: int = 256) -> Column:
+    """Polynomial (Rabin–Karp) rolling-hash document fingerprint over the
+    first ``prefix`` chars of the whitespace-normalized lowercase text:
+    ``h ← (h·base + codepoint(c)) mod m``. Unlike :func:`fingerprint`
+    (xxhash64 — the production default), this hash is *rolling* — ``h`` of a
+    shifted window is derivable in O(1), the primitive winnowing-style
+    fingerprinters build on — and it is closed-form recomputable in ANSI
+    SQL, so the ``doc_fingerprint`` query is oracle-gated end to end. The
+    prefix cap bounds per-row work at scale (long docs fingerprint by their
+    head; full-body near-dup detection is MinHash/SimHash's job). Stays
+    whole-stage-codegen: split + higher-order ``aggregate``, no UDF."""
+    t = F.col(text) if isinstance(text, str) else text
+    norm = F.substring(
+        F.regexp_replace(F.lower(F.trim(t)), _WS, " "), 1, prefix)
+    return F.aggregate(
+        F.split(norm, ""), F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % F.lit(mod))
+
+
 def char_ngrams(text: str | Column, n: int = 5) -> Column:
     """Array of character n-grams (shingles) of the normalized lowercase
     text (shorter-than-n text → empty array)."""

@@ -370,6 +370,15 @@ def q_stopword_ratio(spark, sf_dir):
     return d.select(F.col("doc_id").cast("long"), F.round(tx.stopword_ratio("text"), 9).alias("stop_ratio"))
 
 
+def q_doc_fingerprint(spark, sf_dir):
+    """Rolling-hash document fingerprint (Rabin–Karp polynomial over the
+    normalized 256-char head) — the SQL-recomputable sibling of the
+    xxhash64 production fingerprint. Whole-stage-codegen column exprs."""
+    d = _docs(spark, sf_dir)
+    return d.select(F.col("doc_id").cast("long"),
+                    tx.rolling_fingerprint("text").alias("fp"))
+
+
 def q_dedup_keep_first(spark, sf_dir):
     """Exact-dedup survivor selection over the duplicated substrate (every
     normalized-text group has >= 2 members, see q_exact_dupes): one row per
@@ -683,6 +692,7 @@ REGISTERED_THIS_ROUND = {
     "dynamic_batch_q",
     "lsh_cosine_banded",
     "embedding_near_dup",
+    "doc_fingerprint",
 }
 
 QUERIES = {
@@ -723,6 +733,7 @@ QUERIES = {
     "lang_guess": q_lang_guess,
     "quality_score": q_quality_score,
     "stopword_ratio": q_stopword_ratio,
+    "doc_fingerprint": q_doc_fingerprint,
     "exact_dupes": q_exact_dupes,
     "dedup_keep_first": q_dedup_keep_first,
     "ngram_jaccard": q_ngram_jaccard,
@@ -985,6 +996,18 @@ ORACLES: dict[str, str] = {
         "WHEN ' ' || LOWER(text) || ' ' LIKE '% el %' OR ' ' || LOWER(text) || ' ' LIKE '% que %' "
         "OR ' ' || LOWER(text) || ' ' LIKE '% es %' THEN 'es' "
         "ELSE 'other' END AS lang_guess FROM documents"
+    ),
+    # Rabin–Karp fold recomputed in DuckDB: same normalize → 256-char head →
+    # per-codepoint (acc*31 + cp) % (2^31-1). list_reduce has no init value,
+    # but acc0=0 makes the first Spark step 0*31+cp0 = cp0 — identical to
+    # list_reduce starting at cp0. Empty head → single '' element → ascii 0
+    # on both engines (Spark split('','') == [''], DuckDB likewise).
+    "doc_fingerprint": (
+        "SELECT CAST(doc_id AS BIGINT) AS doc_id, "
+        "list_reduce(list_transform(string_split_regex("
+        "substring(regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g'), 1, 256), "
+        "''), c -> CAST(ascii(c) AS BIGINT)), "
+        "(a, b) -> (a * 31 + b) % 2147483647) AS fp FROM documents"
     ),
     "stopword_ratio": (
         "WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, "

@@ -38,6 +38,29 @@ def test_fingerprint_normalization(spark):
     assert got[0] == got[1] != got[2]
 
 
+def test_rolling_fingerprint_matches_python(spark):
+    """Independent Python recomputation of the Rabin–Karp fold, covering
+    normalization, the 256-char prefix cap, empty text, and non-ASCII."""
+    import re
+
+    def py_fp(text, base=31, mod=2**31 - 1, prefix=256):
+        norm = re.sub(r"\s+", " ", text.strip().lower())[:prefix]
+        acc = 0
+        for c in (norm or "\0"):          # Spark split('','') == [''] → ascii 0
+            acc = (acc * base + (ord(c) if c != "\0" else 0)) % mod
+        return acc
+
+    rows = [(0, "Hello  World"), (1, "hello world"), (2, ""),
+            (3, "héj ünïcode"), (4, "x" * 1000), (5, "x" * 256)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["fp"] for r in
+           d.select("doc_id", tx.rolling_fingerprint("text").alias("fp")).collect()}
+    for i, t in rows:
+        assert got[i] == py_fp(t), (i, t[:20], got[i], py_fp(t))
+    assert got[0] == got[1]               # normalization collapses whitespace/case
+    assert got[4] == got[5]               # prefix cap: fingerprint of the head
+
+
 def test_word_ngrams(spark):
     d = spark.createDataFrame([(0, "a b c d"), (1, "a b")], "doc_id long, text string")
     got = {r["doc_id"]: r["g"] for r in

@@ -82,7 +82,11 @@ def main():
         md5s.update(r["labels_md5"] for r in runs)
     report["identical_labels"] = len(md5s) == 1
     assert report["identical_labels"], f"feed changed labels! {md5s}"
-    out = REPO / "BENCH" / "frontier.json"
+    import os
+    # SPARK_GRAFT_FRONTIER_OUT redirects the report (e.g. a 2-core
+    # crossover run must not clobber the 8-core evidence)
+    out = pathlib.Path(os.environ.get(
+        "SPARK_GRAFT_FRONTIER_OUT", REPO / "BENCH" / "frontier.json"))
     out.write_text(json.dumps(report, indent=1))
     print(json.dumps(report, indent=1))
 
