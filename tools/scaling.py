@@ -87,9 +87,19 @@ if job == "leiden":
     # their edge count by the kernel passes they cover)
     work_edges = sum(m.get("edges", 0) * max(m.get("kernel_passes", 1), 1)
                      for m in res.metrics if "pass" in m)
+    # move-phase work, round-weighted: each move round scans ITS pass's
+    # edge table once, so edges×rounds per pass is the real move work —
+    # a rate normalized by this cannot be distorted by pass-count OR
+    # round-count differences between legs (round-3/4 advice)
+    pass_recs = [m for m in res.metrics if "pass" in m]
+    move_rounds = sum(len(m.get("rounds", [])) for m in pass_recs)
+    move_work_edges = sum(m.get("edges", 0) * len(m.get("rounds", []))
+                          for m in pass_recs)
     print("RESULT " + json.dumps({
         "cpus": cpus, "edges": n_edges, "seconds": round(dt, 3),
         "work_edges": int(work_edges),
+        "move_rounds": int(move_rounds),
+        "move_work_edges": int(move_work_edges),
         "move_seconds": round(move_secs, 3), "sweep_passes": sweep_passes,
         "passes": res.passes, "modularity": round(res.modularity, 9),
         "labels_md5": h,
