@@ -147,6 +147,16 @@ def q_aggregate_graph(spark, sf_dir):
     return agg.aggregate_graph(e, _memb_mod10(e))
 
 
+def q_aggregate_graph_salted(spark, sf_dir):
+    """A9 via the hub-salted two-stage path (north-rule skew handling):
+    partial sums over (cs, cd, salt) sub-keys, then combined. Must produce
+    the identical super-graph as the plain path, so it shares
+    aggregate_graph's closed-form oracle (weights are integral here, so the
+    re-associated summation is exact)."""
+    e = _lineitem_sym(spark, sf_dir)
+    return agg.aggregate_graph_salted(e, _memb_mod10(e))
+
+
 def q_modularity(spark, sf_dir):
     """A14 per-community decomposition (Σ q_c = modularity)."""
     e = _lineitem_sym(spark, sf_dir)
@@ -693,6 +703,7 @@ REGISTERED_THIS_ROUND = {
     "lsh_cosine_banded",
     "embedding_near_dup",
     "doc_fingerprint",
+    "aggregate_graph_salted",
 }
 
 QUERIES = {
@@ -705,6 +716,7 @@ QUERIES = {
     "scan_communities": q_scan_communities,
     "community_sizes": q_community_sizes,
     "aggregate_graph": q_aggregate_graph,
+    "aggregate_graph_salted": q_aggregate_graph_salted,
     "modularity": q_modularity,
     "best_move": q_best_move,
     "renumber": q_renumber,
@@ -829,6 +841,13 @@ ORACLES: dict[str, str] = {
         f"WITH m AS ({_MEMB_SQL}) SELECT community, COUNT(*) AS size FROM m GROUP BY community"
     ),
     "aggregate_graph": (
+        f"WITH e AS ({_EL_SYM_SQL}), m AS ({_MEMB_SQL}) "
+        "SELECT ms.community AS src, md.community AS dst, SUM(e.w) AS w FROM e "
+        "JOIN m ms ON e.src = ms.id JOIN m md ON e.dst = md.id "
+        "GROUP BY ms.community, md.community"
+    ),
+    # the salted two-stage path must be value-identical to the plain path
+    "aggregate_graph_salted": (
         f"WITH e AS ({_EL_SYM_SQL}), m AS ({_MEMB_SQL}) "
         "SELECT ms.community AS src, md.community AS dst, SUM(e.w) AS w FROM e "
         "JOIN m ms ON e.src = ms.id JOIN m md ON e.dst = md.id "

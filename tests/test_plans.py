@@ -148,3 +148,23 @@ def test_pagerank_plan_constant_size(spark, sf):
     # iteration-independent; compounding lineage would double plan length
     p3, p6 = _simple_plan(r3), _simple_plan(r6)
     assert len(p6) < 2 * max(len(p3), 500)
+
+
+def test_aggregate_graph_salted_equals_plain_under_skew(spark, sf):
+    """North-rule hub-skew handling: the salted two-stage aggregation must
+    be value-identical to the plain path on a graph whose heaviest
+    community covers ~90% of edges (the regime the salt exists for)."""
+    from leiden_communities_openmp_spark.operators.aggregations import (
+        aggregate_graph, aggregate_graph_salted)
+    from leiden_communities_openmp_spark.queries import _lineitem_sym
+
+    e = _lineitem_sym(spark, sf)
+    # 90% of vertices land in community 0 → the (0,0) super-edge dominates
+    memb = e.select(F.col("src").alias("id")).distinct().select(
+        "id", F.when(F.pmod("id", F.lit(10)) < 9, F.lit(0))
+               .otherwise(F.pmod("id", F.lit(10))).alias("community"))
+    plain = {(r.src, r.dst): r.w for r in aggregate_graph(e, memb).collect()}
+    salted = {(r.src, r.dst): r.w
+              for r in aggregate_graph_salted(e, memb, salt=16).collect()}
+    assert salted == plain
+    assert (0, 0) in plain and plain[(0, 0)] > 0.5 * sum(plain.values())
