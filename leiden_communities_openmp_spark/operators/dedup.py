@@ -628,3 +628,37 @@ def lsh_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.95,
         .filter(F.col("cosine") >= threshold)
         .select("a", "b", F.round("cosine", 9).alias("cosine"))
     )
+
+
+def near_dup_clusters(docs: DataFrame, threshold: float = 0.8, n: int = 3,
+                      max_df: int | None = None,
+                      id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Transitive near-duplicate CLUSTERS → (doc_id, cluster_id, is_rep).
+
+    The standard web-corpus dedup composite (keep one representative per
+    near-dup group): threshold-Jaccard pairs (``ngram_jaccard_pairs``) form
+    an undirected graph whose connected components are the dedup clusters —
+    transitivity matters because A~B and B~C often hold at threshold while
+    A~C falls just below it. cluster_id = smallest doc_id in the component
+    (singletons cluster with themselves); is_rep = 1 on the kept doc.
+
+    Scale: pair generation is the inverted-index path (opt-in ``max_df``
+    hot-shingle cap kills the boilerplate blowup); the component step is the
+    O(log n)-round large-star/small-star operator over pair edges — pair
+    count is near-linear in docs at dedup thresholds, and AQE handles the
+    giant-cluster star-root skew. No driver-side state in either stage.
+    """
+    from .companions import connected_components
+
+    pairs = ngram_jaccard_pairs(docs, threshold, n, max_df,
+                                id_col=id_col, text_col=text_col)
+    comp = connected_components(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+    out = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+        .join(comp.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select("doc_id",
+                F.coalesce("component", "doc_id").cast("long").alias("cluster_id"))
+    )
+    return out.withColumn(
+        "is_rep", (F.col("doc_id") == F.col("cluster_id")).cast("int"))

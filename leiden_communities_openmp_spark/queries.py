@@ -420,6 +420,14 @@ def q_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.5, n=3, max_df=1000)
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """Transitive near-dup clusters (Jaccard >= 0.5 pairs → connected
+    components → min-id representative); the oracle recomputes the closure
+    with a recursive CTE over the same pair SQL."""
+    return dd.near_dup_clusters(_docs(spark, sf_dir), threshold=0.5, n=3,
+                                max_df=1000)
+
+
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-5 for query vectors vec_id < 8."""
     e = _emb(spark, sf_dir)
@@ -704,6 +712,7 @@ REGISTERED_THIS_ROUND = {
     "embedding_near_dup",
     "doc_fingerprint",
     "aggregate_graph_salted",
+    "near_dup_clusters",
 }
 
 QUERIES = {
@@ -749,6 +758,7 @@ QUERIES = {
     "exact_dupes": q_exact_dupes,
     "dedup_keep_first": q_dedup_keep_first,
     "ngram_jaccard": q_ngram_jaccard,
+    "near_dup_clusters": q_near_dup_clusters,
     "cosine_topk": q_cosine_topk,
     "triangle_count_per_vertex": q_triangle_per_vertex,
     "resize_images": q_resize_images,
@@ -815,6 +825,29 @@ def _lpa_sql(n: int, b: int, rounds: int) -> str:
     sql = ",\n".join(parts)
     return f"{sql}\nSELECT CAST(id AS BIGINT) AS id, CAST(label AS BIGINT) AS label FROM l{rounds}"
 
+
+# Shared CTE chain for word-trigram Jaccard pairs over `documents`
+# (mirrors ngram_jaccard_pairs(threshold=0.5, n=3, max_df=1000)); used by
+# both the pair oracle and the transitive-cluster oracle so the two can't
+# drift apart.
+_NGRAM_PAIR_CTES = (
+    "toks AS (SELECT doc_id, regexp_split_to_array("
+    "regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS t FROM documents), "
+    "grams AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') "
+    "FOR i IN range(1, len(t) - 1)]) AS g FROM toks WHERE len(t) >= 3), "
+    "sz AS (SELECT doc_id, len(g) AS n_sh FROM grams), "
+    "ex AS (SELECT doc_id, UNNEST(g) AS gram FROM grams), "
+    "keep AS (SELECT gram FROM ex GROUP BY gram HAVING COUNT(*) <= 1000), "
+    "exk AS (SELECT ex.doc_id, ex.gram FROM ex JOIN keep USING (gram)), "
+    "cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM exk a JOIN exk b "
+    "ON a.gram = b.gram AND a.doc_id < b.doc_id), "
+    "inter AS (SELECT cand.a, cand.b, len(list_intersect(ga.g, gb.g)) AS i "
+    "FROM cand JOIN grams ga ON ga.doc_id = cand.a JOIN grams gb ON gb.doc_id = cand.b), "
+    "pairs AS (SELECT inter.a, inter.b, "
+    "ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 9) AS jaccard "
+    "FROM inter JOIN sz sa ON sa.doc_id = inter.a JOIN sz sb ON sb.doc_id = inter.b "
+    "WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5)"
+)
 
 ORACLES: dict[str, str] = {
     "edge_dedup": f"SELECT src, dst, w FROM ({_EL_SQL}) e ORDER BY src, dst",
@@ -1054,21 +1087,21 @@ ORACLES: dict[str, str] = {
     "ngram_jaccard": (
         # mirrors ngram_jaccard_pairs(max_df=1000): candidates restricted to
         # pairs sharing a sub-hot shingle, exact jaccard on full sets
-        "WITH toks AS (SELECT doc_id, regexp_split_to_array("
-        "regexp_replace(LOWER(TRIM(text)), '\\s+', ' ', 'g'), ' ') AS t FROM documents), "
-        "grams AS (SELECT doc_id, list_distinct([array_to_string(t[i:i+2], ' ') "
-        "FOR i IN range(1, len(t) - 1)]) AS g FROM toks WHERE len(t) >= 3), "
-        "sz AS (SELECT doc_id, len(g) AS n_sh FROM grams), "
-        "ex AS (SELECT doc_id, UNNEST(g) AS gram FROM grams), "
-        "keep AS (SELECT gram FROM ex GROUP BY gram HAVING COUNT(*) <= 1000), "
-        "exk AS (SELECT ex.doc_id, ex.gram FROM ex JOIN keep USING (gram)), "
-        "cand AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b FROM exk a JOIN exk b "
-        "ON a.gram = b.gram AND a.doc_id < b.doc_id), "
-        "inter AS (SELECT cand.a, cand.b, len(list_intersect(ga.g, gb.g)) AS i "
-        "FROM cand JOIN grams ga ON ga.doc_id = cand.a JOIN grams gb ON gb.doc_id = cand.b) "
-        "SELECT inter.a, inter.b, ROUND(CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i), 9) AS jaccard "
-        "FROM inter JOIN sz sa ON sa.doc_id = inter.a JOIN sz sb ON sb.doc_id = inter.b "
-        "WHERE CAST(i AS DOUBLE) / (sa.n_sh + sb.n_sh - i) >= 0.5"
+        f"WITH {_NGRAM_PAIR_CTES} SELECT a, b, jaccard FROM pairs"
+    ),
+    # transitive closure of the same pairs = dedup clusters; min-id rep
+    "near_dup_clusters": (
+        f"WITH RECURSIVE {_NGRAM_PAIR_CTES}, "
+        "uedges AS (SELECT a AS u, b AS v FROM pairs "
+        "UNION ALL SELECT b AS u, a AS v FROM pairs), "
+        "reach(u, v) AS (SELECT u, v FROM uedges "
+        "UNION SELECT r.u, e.v FROM reach r JOIN uedges e ON r.v = e.u), "
+        "comp AS (SELECT u AS doc_id, LEAST(u, MIN(v)) AS cid "
+        "FROM reach GROUP BY u) "
+        "SELECT d.doc_id, CAST(COALESCE(c.cid, d.doc_id) AS BIGINT) AS cluster_id, "
+        "CAST(CASE WHEN COALESCE(c.cid, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS INT) AS is_rep "
+        "FROM (SELECT DISTINCT CAST(doc_id AS BIGINT) AS doc_id FROM documents) d "
+        "LEFT JOIN comp c ON c.doc_id = d.doc_id"
     ),
     "cosine_topk": (
         "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings), "

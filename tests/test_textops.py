@@ -434,3 +434,28 @@ def test_lsh_cosine_recall_planes8(spark):
            for r in dd.lsh_cosine_topk(d, q, k=1, planes=8).collect()}
     hits = sum(1 for qid, nid in brute.items() if lsh.get(qid) == nid)
     assert hits >= 0.9 * len(brute), f"recall@1 {hits}/{len(brute)}"
+
+
+def test_near_dup_clusters_transitive(spark):
+    """A~B and B~C at threshold (0.778 each) but A!~C directly (0.6) → one cluster (the whole
+    point of clustering over pairwise filtering); singletons self-cluster
+    and every cluster has exactly one representative (its min doc_id)."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (10, base),                                       # A
+        (11, base.replace("kappa", "lambda")),            # B ~ A
+        (12, base.replace("kappa", "lambda")
+                 .replace("alpha", "omega")),             # C ~ B, farther from A
+        (13, "utterly unrelated words about spark plans and shuffles here"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["cluster_id"], r["is_rep"])
+           for r in dd.near_dup_clusters(d, threshold=0.7, n=3).collect()}
+    assert got[10] == (10, 1)
+    assert got[11] == (10, 0)
+    assert got[12] == (10, 0)          # transitive member via B
+    assert got[13] == (13, 1)          # singleton
+    # direct A~C jaccard is below the threshold — transitivity did the work
+    pairs = {(r["a"], r["b"]): r["jaccard"]
+             for r in dd.ngram_jaccard_pairs(d, threshold=0.0, n=3).collect()}
+    assert pairs[(10, 12)] < 0.7 <= min(pairs[(10, 11)], pairs[(11, 12)])
