@@ -61,7 +61,27 @@ def _parse(argv):
     ap.add_argument("--iterations", type=int, default=5, help="pagerank iterations / lpa rounds")
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--output-format", choices=["parquet", "snapshot"],
+                    default="parquet",
+                    help="snapshot = Iceberg-style layout (plans/tables.py): "
+                         "snapshot manifests + atomic current pointer, "
+                         "time-travel readable")
     return ap.parse_args(argv)
+
+
+def _write_out(df, path, args):
+    if args.output_format == "snapshot":
+        from leiden_communities_openmp_spark.plans.tables import write_snapshot
+        return write_snapshot(df, path)
+    df.write.mode("overwrite").parquet(path)
+    return None
+
+
+def _read_out(spark, path, args):
+    if args.output_format == "snapshot":
+        from leiden_communities_openmp_spark.plans.tables import read_snapshot
+        return read_snapshot(spark, path)
+    return spark.read.parquet(path)
 
 
 def _load_edges(spark, args):
@@ -102,9 +122,9 @@ def run_job(spark, args) -> dict:
     if args.job == "ingest":
         from leiden_communities_openmp_spark.sources.pages import ingest
         edges, url_map = ingest(spark.read.parquet(args.input))
-        edges.write.mode("overwrite").parquet(args.output)
-        url_map.write.mode("overwrite").parquet(args.output.rstrip("/") + "_urls")
-        metrics["edges"] = spark.read.parquet(args.output).count()
+        _write_out(edges, args.output, args)
+        _write_out(url_map, args.output.rstrip("/") + "_urls", args)
+        metrics["edges"] = _read_out(spark, args.output, args).count()
     elif args.job in ("leiden", "louvain"):
         from leiden_communities_openmp_spark.operators.kernel import LeidenOptions
         from leiden_communities_openmp_spark.operators.leiden import leiden_scale
@@ -122,7 +142,7 @@ def run_job(spark, args) -> dict:
                           max_passes=args.max_passes),
             refine=args.job == "leiden", checkpointer=ck,
             strategy=args.strategy, **kw)
-        res.membership.write.mode("overwrite").parquet(args.output)
+        _write_out(res.membership, args.output, args)
         metrics.update({"modularity": res.modularity, "passes": res.passes,
                         "iterations": res.iterations, "phases": res.metrics})
         if args.csv:
@@ -142,8 +162,8 @@ def run_job(spark, args) -> dict:
             out = C.label_propagation(edges, rounds=args.iterations)
         else:
             out = C.triangle_count_per_vertex(edges)
-        out.write.mode("overwrite").parquet(args.output)
-        metrics["rows"] = spark.read.parquet(args.output).count()
+        _write_out(out, args.output, args)
+        metrics["rows"] = _read_out(spark, args.output, args).count()
 
     metrics["seconds"] = round(time.time() - t0, 3)
     if args.metrics:
