@@ -14,8 +14,11 @@ both ratios ≈ 1; a falling move-phase ratio is disclosed as the honest
 scaling-critical number even when amortized fixed costs pull the
 end-to-end ratio above 1.
 
-Usage: python3 tools/weak_scaling.py [n_small] [cpus] [reps]
-Writes BENCH/weak_scaling.json.
+Usage: python3 tools/weak_scaling.py [n_small] [cpus] [reps] [factors]
+``factors`` (default "1,4") sets the curve points as multiples of
+n_small, e.g. "1,4,16" for a three-point curve. Writes
+BENCH/weak_scaling.json (two-point default) or
+BENCH/weak_scaling_curve.json when more than two points are requested.
 """
 
 from __future__ import annotations
@@ -34,7 +37,8 @@ def main():
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     cpus = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    sizes = (n_small, 4 * n_small)
+    factors = [int(f) for f in (sys.argv[4] if len(sys.argv) > 4 else "1,4").split(",")]
+    sizes = tuple(n_small * f for f in factors)
     runs: dict[int, list] = {s: [] for s in sizes}
     for _ in range(reps):                     # interleaved (steal-robust)
         for s in sizes:
@@ -65,16 +69,19 @@ def main():
                 rates_move[s] = best["edges_per_sec_per_superstep"]
         rates_work[s] = best["edges_per_sec_end2end_worknorm"]
         report[f"n_{s}"] = best
-    report["worknorm_throughput_ratio_4x_over_1x"] = round(
-        rates_work[sizes[1]] / rates_work[sizes[0]], 3)
-    if len(rates_move) == 2:
+    for i in range(1, len(sizes)):
+        fx = sizes[i] // sizes[0]
+        report[f"worknorm_throughput_ratio_{fx}x_over_1x"] = round(
+            rates_work[sizes[i]] / rates_work[sizes[0]], 3)
         # headline the MOVE-phase rate too — the distributed move phase is
         # the scaling-critical segment, and its decline must be disclosed,
         # not buried under amortizing fixed costs (round-weighted when the
         # child reports move_work_edges)
-        report["move_worknorm_throughput_ratio_4x_over_1x"] = round(
-            rates_move[sizes[1]] / rates_move[sizes[0]], 3)
-    out = REPO / "BENCH" / "weak_scaling.json"
+        if sizes[i] in rates_move and sizes[0] in rates_move:
+            report[f"move_worknorm_throughput_ratio_{fx}x_over_1x"] = round(
+                rates_move[sizes[i]] / rates_move[sizes[0]], 3)
+    name = "weak_scaling.json" if len(sizes) == 2 else "weak_scaling_curve.json"
+    out = REPO / "BENCH" / name
     out.write_text(json.dumps(report, indent=1))
     print(json.dumps(report, indent=1))
 
