@@ -46,6 +46,8 @@ def pagerank(edges: DataFrame, iterations: int = 5, damping: float = 0.85) -> Da
     """
     verts = _materialize(_vertices(edges))
     n = verts.count()
+    if n == 0:  # empty edge table (e.g. a filter matched nothing)
+        return verts.withColumn("rank", F.lit(0.0))
     outdeg = _materialize(
         edges.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("outdeg")))
     ranks = verts.withColumn("rank", F.lit(1.0 / n))
