@@ -786,6 +786,12 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         # the per-round driver serialization and torrent traffic, and the
         # static blocks stay warm in every reused Python worker
         bc_static = sc.broadcast({"vid": state.vid, "vtot": state.vtot})
+        # per-pass driver-hop accounting: the sweep's only non-executor
+        # segments are (a) the per-round dyn-state broadcast build, (b) the
+        # blocking job+mover-collect action, (c) the numpy state apply —
+        # recorded so scaling runs can attribute core-independent time
+        # (tools/amdahl.py) to a measured segment instead of a guess
+        hop = {"bcast": 0.0, "job_collect": 0.0, "rows_out": 0, "apply": 0.0}
 
         def run_sweep(dyn_dict, refine_flag, E_cur, direction=0, feed=None):
             # the in-task sweep sees ~1/P of the graph, so its share of the
@@ -793,8 +799,11 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             # gain sum to the GLOBAL E quits ~P× too early and pushes the
             # convergence work into many more (expensive) coarse rounds
             E_task = E_cur / max(num_partitions, 1)
+            t_b = time.time()
             bc = sc.broadcast(dyn_dict)
+            hop["bcast"] += time.time() - t_b
             try:
+                t_j = time.time()
                 out = (feed if feed is not None else part_edges).mapInPandas(
                     lambda it: sweep_partition(it, {**bc_static.value, **bc.value},
                                                M, R, E_task,
@@ -802,6 +811,8 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                                                refine_flag, direction),
                     schema=_MOVES_SCHEMA,
                 ).toPandas()
+                hop["job_collect"] += time.time() - t_j
+                hop["rows_out"] += int(len(out))
             finally:
                 bc.destroy()
             return out
@@ -858,9 +869,11 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             mv = out[out["blocked"] == 0] if len(out) else out
             n_blocked = int(len(out) - len(mv))
             if len(mv):
+                t_ap = time.time()
                 pos_mv = state.pos(mv["id"].to_numpy(np.int64))
                 state.comm[pos_mv] = mv["community_new"].to_numpy(np.int64)
                 state.recompute_ctot()
+                hop["apply"] += time.time() - t_ap
             if len(out):
                 # aff-seed the next round only when the frontier is small:
                 # a big mover set needs a full re-equilibration round (frontier
@@ -977,6 +990,8 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                "refine_apply_seconds": round(t_ref_apply, 3),
                "vt_seconds": round(t_vt, 3),
                "partition_seconds": round(t_part, 3),
+               "driver_hop": {k: (round(v, 3) if isinstance(v, float) else v)
+                              for k, v in hop.items()},
                "rounds": round_log,
                "pass_seconds": round(time.time() - t0, 3)}
         metrics.append(rec)
