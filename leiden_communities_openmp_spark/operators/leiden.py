@@ -155,11 +155,18 @@ def community_weights(memb: DataFrame, vtot: DataFrame) -> DataFrame:
     return memb.join(vtot, "id").groupBy("community").agg(F.sum("vtot").alias("ctot"))
 
 
-def modularity_df(edges: DataFrame, memb: DataFrame, M: float, resolution: float = 1.0) -> float:
+def modularity_df(edges: DataFrame, memb: DataFrame, M: float, resolution: float = 1.0,
+                  n_vertices: int | None = None) -> float:
     """A14 (inc/properties.hxx:205-233): Q = Σ_c cin/(2M) − R·(ctot/(2M))²
-    over the directed edge scan (each undirected edge twice)."""
-    ms = memb.select(F.col("id").alias("src"), F.col("community").alias("cs"))
-    md = memb.select(F.col("id").alias("dst"), F.col("community").alias("cd"))
+    over the directed edge scan (each undirected edge twice).
+
+    ``n_vertices`` (membership row count, when the caller knows it) lets the
+    relabel joins take the broadcast-hash path instead of sort-merging the
+    big edge relation twice — same plan-shape rule as the pass aggregation."""
+    ms = _maybe_broadcast(
+        memb.select(F.col("id").alias("src"), F.col("community").alias("cs")), n_vertices)
+    md = _maybe_broadcast(
+        memb.select(F.col("id").alias("dst"), F.col("community").alias("cd")), n_vertices)
     per_comm = (
         edges.join(ms, "src").join(md, "dst")
         .groupBy("cs")
@@ -176,6 +183,28 @@ def modularity_df(edges: DataFrame, memb: DataFrame, M: float, resolution: float
 
 _BROADCAST_VERTEX_LIMIT = 2_000_000   # rows; above this a per-task hash
                                       # build costs more than a shuffle join
+
+# Relabel maps (id → community, two packed longs) are far narrower than the
+# 48 B/row worst case the generic broadcast budget assumes: 8 M rows is a
+# ~128 MB hash relation — one torrent ship per executor per PASS, vs THREE
+# full shuffles of the big edge relation (sort by src, sort by dst, group)
+# that the sort-merge plan costs. Measured on the 86 M-edge / 4 M-vertex
+# witness (BENCH/profile_4m_unfed_8c.json): the pass-1 aggregate is the
+# second-largest non-scaling phase precisely because 4 M rows fell past the
+# generic limit. Executors smaller than ~4 GB should lower this.
+_BROADCAST_RELABEL_LIMIT = 8_000_000
+
+# Frontier-feed auto gate (edge rows per pass). The JVM frontier cut costs
+# a fixed ~2 s/round of broadcast/distinct/job machinery regardless of data
+# size (Amdahl fit in BENCH/BASELINE.md), while the full-feed round it
+# replaces costs O(edge rows) Arrow transport (~0.3 s per M rows at 8
+# cores). Below ~50 M rows the floor is a material fraction of the saving
+# and hurts small-cluster core-scaling (measured 0.55 composed efficiency
+# at 21.6 M edges, BENCH/scaling_frontier.json); above it the saving
+# dominates (12 tail rounds × 6-32 s each on ≤12 k movers at 86 M rows,
+# BENCH/profile_4m_unfed_8c.json). Callers pin behavior with an explicit
+# frontier_threshold (0.0 = never feed).
+_FRONTIER_FEED_EDGE_GATE = 50_000_000
 
 
 def _broadcast_row_limit(spark: SparkSession, bytes_per_row: int = 48) -> int:
@@ -197,9 +226,10 @@ def _broadcast_row_limit(spark: SparkSession, bytes_per_row: int = 48) -> int:
 
 
 def _maybe_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
-    """Broadcast-hint small relabel maps; past the limit let AQE plan the
-    join (sort-merge / shuffled-hash with skew handling)."""
-    if n_rows is not None and n_rows <= _BROADCAST_VERTEX_LIMIT:
+    """Broadcast-hint relabel maps up to _BROADCAST_RELABEL_LIMIT rows (two
+    packed longs each — see the constant's sizing note); past the limit let
+    AQE plan the join (sort-merge / shuffled-hash with skew handling)."""
+    if n_rows is not None and n_rows <= _BROADCAST_RELABEL_LIMIT:
         return F.broadcast(df)
     return df
 
@@ -619,7 +649,7 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                  num_partitions: int = 32, local_iters: int = 20,
                  driver_threshold: int = 250000,
                  driver_vertex_threshold: int = 20000,
-                 frontier_threshold: float = 0.0,
+                 frontier_threshold: float | None = None,
                  aff_seed_fraction: float = 0.02,
                  strategy: str = "auto",
                  rounds_vertex_threshold: int = 300_000_000) -> LeidenRunResult:
@@ -638,10 +668,16 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
     faster with a full re-equilibration round), not a correctness knob.
     The sweep path seeds from a 2-round window (both directions of one
     color-free cycle); the rounds path from a 4-round window (one full
-    color × direction cycle). Applies to BOTH strategies. ``frontier_threshold``: additionally cut the Arrow feed itself to
-    the seeded adjacency (JVM semi-join) when the seed is below this
-    fraction; 0.0 disables (in local mode the full feed of a cached table
-    beats the semi-join machinery — on a real cluster it pays).
+    color × direction cycle). Applies to BOTH strategies.
+
+    ``frontier_threshold``: additionally cut the Arrow feed itself to the
+    seeded adjacency (JVM semi-join) when the seed is below this fraction
+    of the vertices. ``None`` (default) decides per pass: feed every
+    seeded round when the pass's edge table is at least
+    _FRONTIER_FEED_EDGE_GATE rows (where the cut's fixed ~2 s/round floor
+    is small against the O(edge rows) full-feed transport it replaces —
+    sizing note at the constant), never below it. ``0.0`` pins the feed
+    off; an explicit fraction pins it on for seeds below that fraction.
 
     ``strategy``: ``"sweep"`` (broadcast-state partitioned Gauss-Seidel,
     O(|V|) driver+broadcast arrays — the fast path to ~10⁸-10⁹ vertices),
@@ -694,7 +730,7 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             checkpointer=checkpointer, start=start,
             aff_seed_fraction=aff_seed_fraction)
         t_q = time.time()
-        q = modularity_df(edges0, ucom, M, R)
+        q = modularity_df(edges0, ucom, M, R, n_vertices=v_estimate)
         metrics.append({"phase": "final_modularity", "seconds": round(time.time() - t_q, 3)})
         return LeidenRunResult(ucom, q, p, total_iters, M, metrics)
 
@@ -726,6 +762,7 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
     # not seeding.
     n_vertices: int | None = (
         v_estimate if p == 0 and driver_threshold > 0 else None)
+    n_orig: int | None = None  # exact original-V row count (final-Q broadcast hint)
     carried: tuple | None = None        # (vid, vtot) for passes ≥ 2
     if checkpointer is not None and p > 0:
         # restore the strategy-selection state so a resumed run takes the
@@ -741,6 +778,8 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         if n_edges <= driver_threshold or (
                 n_vertices is not None and n_vertices <= driver_vertex_threshold):
             memb_df, n_vid, sub = _driver_finish(spark, g, R, E, o, refine, p)
+            if ucom is None:
+                n_orig = n_vid
             ucom = _materialize(memb_df if ucom is None else _compose(ucom, memb_df, n_vid))
             total_iters += sub.iterations
             p += sub.passes
@@ -786,6 +825,11 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         # the per-round driver serialization and torrent traffic, and the
         # static blocks stay warm in every reused Python worker
         bc_static = sc.broadcast({"vid": state.vid, "vtot": state.vtot})
+        # per-pass frontier-feed threshold: coarse passes shrink below the
+        # gate and drop back to the full feed of their (small) cached table
+        fthr = (frontier_threshold if frontier_threshold is not None
+                else (aff_seed_fraction if n_edges >= _FRONTIER_FEED_EDGE_GATE
+                      else 0.0))
         # per-pass driver-hop accounting: the sweep's only non-executor
         # segments are (a) the per-round dyn-state broadcast build, (b) the
         # blocking job+mover-collect action, (c) the numpy state apply —
@@ -855,11 +899,10 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             feed = None
             if changed_pos is not None and len(changed_pos):
                 snap["changed_pos"] = changed_pos
-                # JVM-side frontier cut only below the threshold fraction:
-                # in local mode the full Arrow feed of a cached table beats
-                # the semi-join machinery, so this defaults off (0.0); on a
-                # real cluster with larger tables-per-core it pays
-                if len(changed_pos) < frontier_threshold * gn:
+                # JVM-side frontier cut only below the threshold fraction
+                # (default: every seeded round once the pass's edge table
+                # clears the auto gate — see _FRONTIER_FEED_EDGE_GATE)
+                if len(changed_pos) < fthr * gn:
                     feed = frontier_feed(state.vid[changed_pos])
             out = run_sweep(snap, False, E, direction, feed=feed)
             move_iters += 1
@@ -1010,6 +1053,8 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         # next pass's dense vertex universe + carried vertex weights
         carried = (np.arange(uniq.size, dtype=np.int64),
                    state.ctot[state.pos(uniq)].copy())
+        if ucom is None:
+            n_orig = gn
         ucom = _materialize(memb_df if ucom is None else _compose(ucom, memb_df, gn))
         rec["renumber_seconds"] = round(time.time() - t_ren, 3)
 
@@ -1070,7 +1115,7 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             checkpointer.save(p, ucom, g, E, total_iters, metrics)
 
     t_q = time.time()
-    q = modularity_df(edges0, ucom, M, R)
+    q = modularity_df(edges0, ucom, M, R, n_vertices=n_orig)
     metrics.append({"phase": "final_modularity", "seconds": round(time.time() - t_q, 3)})
     return LeidenRunResult(ucom, q, p, total_iters, M, metrics)
 

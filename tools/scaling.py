@@ -52,7 +52,8 @@ if job == "leiden":
     e = e.localCheckpoint(eager=True)
     n_edges = e.count()
     spark.range(100000).repartition(64).mapInPandas(lambda it: it, "id long").count()
-    thr = float(os.environ.get("SPARK_GRAFT_FRONTIER", "0.0"))
+    _thr_env = os.environ.get("SPARK_GRAFT_FRONTIER", "auto")
+    thr = None if _thr_env == "auto" else float(_thr_env)
     t0 = time.time()
     res = leiden_scale(spark, e, LeidenOptions(), num_partitions=64,
                        frontier_threshold=thr)
