@@ -68,3 +68,28 @@ def test_aff_seed_fraction_default_unchanged(spark):
     b = leiden_scale(spark, edges, LeidenOptions(), driver_threshold=0,
                      num_partitions=4, aff_seed_fraction=0.02)
     assert _labels(a) == _labels(b)
+
+
+def test_auto_gate_engages_above_edge_gate(spark, monkeypatch):
+    """frontier_threshold=None decides per pass from the edge-row gate
+    (_FRONTIER_FEED_EDGE_GATE): below it the run is bit-identical to a
+    pinned-off run with zero fed rounds; with the gate lowered under the
+    fixture's edge count the feed engages on seeded rounds — and labels,
+    modularity, and round structure stay bit-identical (transport-only)."""
+    from leiden_communities_openmp_spark.operators import leiden as L
+    edges = _graph(spark)
+    auto_small = _run(spark, edges, None)
+    assert not [r for m in auto_small.metrics if "pass" in m
+                for r in m.get("rounds", []) if r.get("fed")], \
+        "auto gate fed a pass below the edge-row gate"
+    monkeypatch.setattr(L, "_FRONTIER_FEED_EDGE_GATE", 1)
+    auto_big = _run(spark, edges, None)
+    assert [r for m in auto_big.metrics if "pass" in m
+            for r in m.get("rounds", []) if r.get("fed")], \
+        "auto gate never fed with the edge gate below the fixture size"
+    assert _labels(auto_small) == _labels(auto_big)
+    assert math.isclose(auto_small.modularity, auto_big.modularity,
+                        abs_tol=1e-12)
+    rounds_a = [m.get("move_iterations") for m in auto_small.metrics if "pass" in m]
+    rounds_b = [m.get("move_iterations") for m in auto_big.metrics if "pass" in m]
+    assert rounds_a == rounds_b
