@@ -764,13 +764,19 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         v_estimate if p == 0 and driver_threshold > 0 else None)
     n_orig: int | None = None  # exact original-V row count (final-Q broadcast hint)
     carried: tuple | None = None        # (vid, vtot) for passes ≥ 2
+    carried_edges: int | None = None    # known row count of a lazy multigraph g
+    pending_unpersist: DataFrame | None = None  # prev pass's part_edges feeding a lazy g
     if checkpointer is not None and p > 0:
         # restore the strategy-selection state so a resumed run takes the
         # same execution path (and thus produces identical labels)
         n_vertices = g.select("src").distinct().count()
     while True:
         t0 = time.time()
-        n_edges = g.count()
+        # a multigraph relabel preserves the row count, so the previous
+        # pass already knows this pass's n_edges — no count job on the
+        # (deliberately lazy) relabel plan
+        n_edges = carried_edges if carried_edges is not None else g.count()
+        carried_edges = None
 
         # ---- driver fast path: finish small super-graphs with the kernel ----
         # (few edges, or few vertices — dense coarsened graphs converge far
@@ -778,6 +784,9 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
         if n_edges <= driver_threshold or (
                 n_vertices is not None and n_vertices <= driver_vertex_threshold):
             memb_df, n_vid, sub = _driver_finish(spark, g, R, E, o, refine, p)
+            if pending_unpersist is not None:
+                pending_unpersist.unpersist()
+                pending_unpersist = None
             if ucom is None:
                 n_orig = n_vid
             ucom = _materialize(memb_df if ucom is None else _compose(ucom, memb_df, n_vid))
@@ -817,6 +826,11 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             spark, g, state.vid, bal, num_partitions
         ).persist()
         part_edges.count()                     # materialize the pass shuffle
+        if pending_unpersist is not None:
+            # the lazy multigraph relabel has now been folded into this
+            # shuffle's map stage; its input (last pass's partitions) can go
+            pending_unpersist.unpersist()
+            pending_unpersist = None
         t_part = time.time() - t_ph
         gn = len(state.vid)
 
@@ -1097,16 +1111,36 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                 .agg(F.sum("w").alias("w"))
             )
         elif multigraph:
-            g = _materialize(
-                joined.select(F.col("cs").alias("src"), F.col("cd").alias("dst"),
+            # LAZY handoff: the relabel is a map-side broadcast join with
+            # the SAME row count as its input, and its only consumer is the
+            # next pass's range-partition shuffle — materializing it here
+            # costs a full O(E) block-manager write + re-read purely to
+            # truncate lineage. Hand the plan over lazily instead: the join
+            # fuses into the next shuffle's map stage (one O(E) scan, zero
+            # intermediate writes), the known row count rides along (no
+            # count job), and the persisted input partitions stay alive
+            # until the next pass's shuffle has consumed them. Lineage depth
+            # grows by one broadcast join per consecutive multigraph pass —
+            # in practice only the noisy pass 1 takes this path (later
+            # passes collapse well and keep the grouped materialize).
+            g = joined.select(F.col("cs").alias("src"), F.col("cd").alias("dst"),
                               F.col("w").cast("double").alias("w"))
-            )
+            if checkpointer is not None:
+                # resumable runs persist the aggregated graph anyway; a lazy
+                # plan would execute the join once per checkpoint write AND
+                # once in the next pass — materialize to keep it single-run
+                g = _materialize(g)
+            else:
+                carried_edges = int(n_edges)
         else:
             g = _materialize(
                 joined.groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
                 .agg(F.sum("w").alias("w"))
             )
-        part_edges.unpersist()
+        if carried_edges is None:
+            part_edges.unpersist()
+        else:
+            pending_unpersist = part_edges
         rec["aggregate_seconds"] = round(time.time() - t_agg, 3)
         rec["aggregate_salted"] = heavy
         rec["aggregate_multigraph"] = multigraph
