@@ -149,13 +149,58 @@ def delta_modularity_candidates(edges: DataFrame, memb: DataFrame, M: float,
     )
 
 
+def renumber_map_distributed(memb: DataFrame, num_partitions: int = 32):
+    """Order-preserving dense rank of distinct communities WITHOUT a global
+    window (R1 exclusive scan, inc/_vector.hxx:1496-1536): distinct ids are
+    range-partitioned ascending, ranked locally per partition, and offset by
+    an exclusive scan of the (one-row-per-partition) partition counts.
+    Returns ((community, cnew) relabel map, distinct community count).
+
+    Scale: the only driver traffic is ``num_partitions`` count rows; the
+    heavy work is one range shuffle over the distinct-community set. A
+    ``dense_rank().over(Window.orderBy(...))`` — an empty PARTITION BY —
+    would funnel every distinct community through ONE task."""
+    import numpy as np
+    import pandas as pd
+
+    comms = (
+        memb.select("community").distinct()
+        .repartitionByRange(num_partitions, "community")
+        .localCheckpoint(eager=True)       # pin sampled range boundaries
+    )
+    with_pid = comms.withColumn("pid", F.spark_partition_id())
+    counts = {int(r["pid"]): int(r["n"]) for r in
+              with_pid.groupBy("pid").agg(F.count("*").alias("n")).collect()}
+    cn = sum(counts.values())
+    offsets = {}
+    acc = 0
+    for pid in range(max(counts) + 1 if counts else 0):
+        offsets[pid] = acc
+        acc += counts.get(pid, 0)
+
+    def rank(batches):
+        rows = [b for b in batches]
+        if not rows:
+            return
+        df = pd.concat(rows, ignore_index=True).sort_values("community")
+        base = offsets.get(int(df["pid"].iloc[0]), 0)
+        yield pd.DataFrame({
+            "community": df["community"].to_numpy(),
+            "cnew": np.arange(base, base + len(df), dtype="int64"),
+        })
+
+    relab = with_pid.mapInPandas(rank, "community long, cnew long")
+    return relab, cn
+
+
 def renumber_communities(memb: DataFrame) -> DataFrame:
     """R2 order-preserving dense renumber (inc/leiden.hxx:1000-1005) →
-    (id, community) with communities 0..C-1 ranked by old id."""
-    relabel = (
-        memb.select("community").distinct()
-        .withColumn("cnew", F.dense_rank().over(Window.orderBy("community")) - 1)
-    )
+    (id, community) with communities 0..C-1 ranked by old id.
+
+    Routed through the distributed two-phase rank — the same plan shape the
+    Leiden pass loop uses — so no single-task global-window exchange appears
+    even at 10^8+ distinct communities."""
+    relabel, _ = renumber_map_distributed(memb)
     return memb.join(relabel, "community").select("id", F.col("cnew").alias("community"))
 
 

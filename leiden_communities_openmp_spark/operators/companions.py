@@ -192,17 +192,38 @@ def label_propagation(edges: DataFrame, rounds: int = 3) -> DataFrame:
     return labels
 
 
+def _oriented(edges: DataFrame) -> DataFrame:
+    """Undirected edge set oriented low→high by (degree, id) → (src, dst).
+
+    Degree ordering (not id ordering) is what makes the wedge self-join
+    survive web-graph hubs: every vertex's oriented out-degree is bounded by
+    ~sqrt(2m), so the join on the middle vertex generates O(m^1.5) wedge
+    rows in the worst case instead of deg(hub)^2 — a 10^5-degree hub under
+    id ordering keeps up to its full degree as out-neighbors and alone
+    yields 10^10 wedges. Same triangle set either way."""
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().filter(F.col("src") != F.col("dst"))
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("deg"))
+    keyed = (
+        und.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("ds")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("dd")), "dst")
+    )
+    lower = (F.col("ds") < F.col("dd")) | (
+        (F.col("ds") == F.col("dd")) & (F.col("src") < F.col("dst")))
+    # each undirected pair appears in BOTH directions in `und`; keep the one
+    # where src is the (degree, id)-smaller endpoint
+    return keyed.filter(lower).select("src", "dst")
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Global triangle count → single row (triangles long).
 
-    Orient each undirected edge a<b once, then count length-2 oriented paths
-    a<b<c closed by (a,c): each triangle counted exactly once. Two shuffle
-    joins; the first join's build side is the same oriented table (self-join
-    on the middle vertex)."""
-    und = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    o = und.filter(F.col("src") < F.col("dst"))  # oriented a<b
+    Orient each undirected edge once by (degree, id), then count length-2
+    oriented paths a→b→c closed by (a,c): each triangle counted exactly
+    once. Two shuffle joins; the wedge join's per-middle-vertex fan-out is
+    bounded by the oriented out-degree ≈ sqrt(2m) (see _oriented)."""
+    o = _oriented(edges)
     ab = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     ac = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))
@@ -213,10 +234,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 
 def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     """Per-vertex triangle participation → (id, triangles)."""
-    und = edges.select("src", "dst").unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    o = und.filter(F.col("src") < F.col("dst"))
+    o = _oriented(edges)
     ab = o.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     bc = o.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     ac = o.select(F.col("src").alias("a"), F.col("dst").alias("c"))

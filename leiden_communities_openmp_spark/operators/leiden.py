@@ -108,9 +108,21 @@ def _range_partition_edges(spark: SparkSession, g: DataFrame, vid, weight, p: in
     bounds_idx = np.searchsorted(cum, targets)       # vid index upper bounds
     cuts = vid[np.minimum(bounds_idx, len(vid) - 1)]
     labels = _partition_labels(spark, p)
-    expr = F.lit(labels[p - 1])
-    for i in range(p - 2, -1, -1):                   # src < cuts[i] → bucket i
-        expr = F.when(F.col("src") < int(cuts[i]), F.lit(labels[i])).otherwise(expr)
+    # bucket(src) = #{j : src >= cuts[j]} (cuts ascending) — identical to
+    # "first i with src < cuts[i], else p-1" including duplicate-cut ties,
+    # but as ONE flat expression instead of a (p-1)-deep nested CASE whose
+    # driver-side Column construction + analysis measurably cost ~1-1.5s
+    # per pass at p=64 (pure serial intercept; the per-row work is the same
+    # O(p) integer compares either way)
+    bucket = F.aggregate(
+        F.lit([int(c) for c in cuts]), F.lit(0),
+        lambda acc, c: acc + F.when(F.col("src") >= c, 1).otherwise(0))
+    # the tag must be LONG: _partition_labels solves pmod(hash(long), p)==i,
+    # and Murmur3 hashes int32 and int64 differently. The old nested-CASE
+    # emitted int32 tags, so the solved bucket→partition bijection silently
+    # never held — 64 buckets landed in ~40 partitions, and a task carrying
+    # 2-3 buckets was the move-round straggler on every witness run.
+    expr = F.element_at(F.lit(labels).cast("array<long>"), bucket + F.lit(1))
     cols = [F.col("src"), F.col("dst"), F.col("w")]
     if narrow and len(vid) and int(vid[-1]) < 2**31 - 1:
         cols = [F.col("src").cast("int"), F.col("dst").cast("int"),
@@ -223,6 +235,84 @@ def _broadcast_row_limit(spark: SparkSession, bytes_per_row: int = 48) -> int:
     if thr <= 0:                      # auto-broadcast disabled entirely
         return 0
     return max(thr // bytes_per_row, 100_000)
+
+
+def _relabel_edges_fn(bc, keep_src: bool):
+    """mapInPandas generator: relabel (src, dst, w) edge batches through a
+    torrent-broadcast (vid → dense community) numpy map — the Arrow/numpy
+    replacement for two broadcast-HASH-join exchanges whose driver-side
+    collect + hash-relation build (O(|V|) each, per pass) dominated the
+    measured Amdahl serial intercept (BENCH/BASELINE.md round-4 table).
+
+    Partition- and order-preserving (a map-side transform, exactly like the
+    broadcast join it replaces), so downstream float aggregation sums see
+    identical rows in identical order → labels stay bit-identical.
+    Unmatched endpoints are DROPPED to replicate the inner-join semantics
+    (only possible on an asymmetric pass-1 input).
+
+    Factory (not a loop-local closure): the lazy multigraph handoff defers
+    execution to the next pass, and a closure over the loop variable would
+    see the REBOUND broadcast of the following pass."""
+    import pandas as pd
+
+    def gen(batches):
+        v = bc.value
+        vid, dense = v["vid"], v["dense"]
+        n = len(vid)
+        for b in batches:
+            src = b["src"].to_numpy().astype(np.int64, copy=False)
+            dst = b["dst"].to_numpy().astype(np.int64, copy=False)
+            si = np.minimum(np.searchsorted(vid, src), n - 1)
+            di = np.minimum(np.searchsorted(vid, dst), n - 1)
+            ok = (vid[si] == src) & (vid[di] == dst)
+            w = b["w"].to_numpy().astype(np.float64, copy=False)
+            if not ok.all():
+                src, si, di, w = src[ok], si[ok], di[ok], w[ok]
+            out = {"cs": dense[si], "cd": dense[di], "w": w}
+            if keep_src:
+                out = {"src": src, **out}
+            yield pd.DataFrame(out)
+
+    return gen
+
+
+def _memb_from_positions_fn(bc):
+    """mapInPandas generator over spark.range(|V|): position → (vid[pos],
+    dense[pos]) — builds the pass-1 membership relation in parallel from
+    the broadcast arrays instead of a driver-serial createDataFrame of
+    |V| rows."""
+    import pandas as pd
+
+    def gen(batches):
+        v = bc.value
+        vid, dense = v["vid"], v["dense"]
+        for b in batches:
+            pos = b["id"].to_numpy()
+            yield pd.DataFrame({"id": vid[pos], "community": dense[pos]})
+
+    return gen
+
+
+def _compose_np_fn(bc):
+    """mapInPandas generator: dendrogram flatten R3 — map ucom.community
+    (pass-p vertex ids) through the broadcast (vid → dense) arrays; the
+    numpy replacement for the _compose broadcast-join exchange."""
+    import pandas as pd
+
+    def gen(batches):
+        v = bc.value
+        vid, dense = v["vid"], v["dense"]
+        n = len(vid)
+        for b in batches:
+            ids = b["id"].to_numpy()
+            c = b["community"].to_numpy().astype(np.int64, copy=False)
+            ci = np.minimum(np.searchsorted(vid, c), n - 1)
+            ok = vid[ci] == c
+            if not ok.all():           # inner-join parity (never in practice)
+                ids, ci = ids[ok], ci[ok]
+            yield pd.DataFrame({"id": ids, "community": dense[ci]})
+
+    return gen
 
 
 def _maybe_broadcast(df: DataFrame, n_rows: int | None) -> DataFrame:
@@ -370,37 +460,13 @@ def _renumber_distributed(spark: SparkSession, memb: DataFrame,
 
     Scale: the only driver traffic is num_partitions count rows; everything
     else is one range shuffle over the distinct-community set. (A global
-    ``dense_rank`` window would funnel all communities through ONE task.)"""
-    import pandas as pd
+    ``dense_rank`` window would funnel all communities through ONE task.)
 
-    comms = (
-        memb.select("community").distinct()
-        .repartitionByRange(num_partitions, "community")
-        .localCheckpoint(eager=True)       # pin sampled range boundaries
-    )
-    with_pid = comms.withColumn("pid", F.spark_partition_id())
-    counts = {int(r["pid"]): int(r["n"]) for r in
-              with_pid.groupBy("pid").agg(F.count("*").alias("n")).collect()}
-    cn = sum(counts.values())
-    offsets = {}
-    acc = 0
-    for pid in range(max(counts) + 1 if counts else 0):
-        offsets[pid] = acc
-        acc += counts.get(pid, 0)
+    Shared with the standalone renumber operator — see
+    aggregations.renumber_map_distributed."""
+    from .aggregations import renumber_map_distributed
 
-    def rank(batches):
-        rows = [b for b in batches]
-        if not rows:
-            return
-        df = pd.concat(rows, ignore_index=True).sort_values("community")
-        base = offsets.get(int(df["pid"].iloc[0]), 0)
-        yield pd.DataFrame({
-            "community": df["community"].to_numpy(),
-            "cnew": np.arange(base, base + len(df), dtype="int64"),
-        })
-
-    relab = with_pid.mapInPandas(rank, "community long, cnew long")
-    return relab, cn
+    return renumber_map_distributed(memb, num_partitions)
 
 
 def _rounds_loop(spark: SparkSession, edges0: DataFrame, M: float, o: LeidenOptions,
@@ -704,7 +770,20 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
     edges0 = edges.select(
         F.col("src").cast("long"), F.col("dst").cast("long"),
         F.col("w").cast("double"))
-    M = float(edges0.agg(F.sum("w")).collect()[0][0] or 0.0) / 2.0  # A1 (main.cxx:61)
+    # A1 (main.cxx:61). The same single aggregation also fingerprints the
+    # symmetric-edge-table invariant (every (a,b) paired with (b,a)) that
+    # the lazy-multigraph row-count carry relies on for pass 1: two salted
+    # order-sensitive checksums, forward vs reversed. Sum values are
+    # < 1e6 · |E| so they stay in int64 territory up to ~9×10^12 edges.
+    _mrow = edges0.agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.pmod(F.xxhash64("src", "dst"), F.lit(1_000_000))).alias("hf"),
+        F.sum(F.pmod(F.xxhash64("dst", "src"), F.lit(1_000_000))).alias("hr"),
+        F.sum(F.pmod(F.xxhash64("src", "dst", F.lit(7)), F.lit(1_000_000))).alias("hf7"),
+        F.sum(F.pmod(F.xxhash64("dst", "src", F.lit(7)), F.lit(1_000_000))).alias("hr7"),
+    ).collect()[0]
+    M = float(_mrow["sw"] or 0.0) / 2.0
+    sym_input = (_mrow["hf"] == _mrow["hr"]) and (_mrow["hf7"] == _mrow["hr7"])
     metrics.append({"phase": "setup", "seconds": round(time.time() - t_setup, 3)})
     if M <= 0:
         empty = spark.createDataFrame([], "id long, community long")
@@ -766,387 +845,466 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
     carried: tuple | None = None        # (vid, vtot) for passes ≥ 2
     carried_edges: int | None = None    # known row count of a lazy multigraph g
     pending_unpersist: DataFrame | None = None  # prev pass's part_edges feeding a lazy g
+    prev_lazy = False                   # was the previous pass's handoff lazy?
+    part_edges: DataFrame | None = None
+    # per-pass relabel broadcasts: a LAZY multigraph g references its pass's
+    # broadcast from inside a pickled mapInPandas function, so the Python
+    # Broadcast object must stay referenced until that plan has executed —
+    # rebinding the loop variable would let the ContextCleaner destroy it
+    # under the deferred plan. Drained once the next pass's shuffle has
+    # consumed the plan; final cleanup in the finally block.
+    rel_keepalive: list = []
     if checkpointer is not None and p > 0:
         # restore the strategy-selection state so a resumed run takes the
         # same execution path (and thus produces identical labels)
         n_vertices = g.select("src").distinct().count()
-    while True:
-        t0 = time.time()
-        # a multigraph relabel preserves the row count, so the previous
-        # pass already knows this pass's n_edges — no count job on the
-        # (deliberately lazy) relabel plan
-        n_edges = carried_edges if carried_edges is not None else g.count()
-        carried_edges = None
+    try:
+        while True:
+            t0 = time.time()
+            # a multigraph relabel preserves the row count, so the previous
+            # pass already knows this pass's n_edges — no count job on the
+            # (deliberately lazy) relabel plan
+            n_edges = carried_edges if carried_edges is not None else g.count()
+            carried_edges = None
 
-        # ---- driver fast path: finish small super-graphs with the kernel ----
-        # (few edges, or few vertices — dense coarsened graphs converge far
-        # faster under the sequential kernel than under bounded sync rounds)
-        if n_edges <= driver_threshold or (
-                n_vertices is not None and n_vertices <= driver_vertex_threshold):
-            memb_df, n_vid, sub = _driver_finish(spark, g, R, E, o, refine, p)
+            # ---- driver fast path: finish small super-graphs with the kernel ----
+            # (few edges, or few vertices — dense coarsened graphs converge far
+            # faster under the sequential kernel than under bounded sync rounds)
+            if n_edges <= driver_threshold or (
+                    n_vertices is not None and n_vertices <= driver_vertex_threshold):
+                memb_df, n_vid, sub = _driver_finish(spark, g, R, E, o, refine, p)
+                if pending_unpersist is not None:
+                    pending_unpersist.unpersist()
+                    pending_unpersist = None
+                if ucom is None:
+                    n_orig = n_vid
+                ucom = _materialize(memb_df if ucom is None else _compose(ucom, memb_df, n_vid))
+                total_iters += sub.iterations
+                p += sub.passes
+                metrics.append({"pass": p, "strategy": "driver-kernel",
+                                "vertices": n_vid, "edges": int(n_edges),
+                                "kernel_passes": sub.passes,
+                                "pass_seconds": round(time.time() - t0, 3)})
+                if verbose:
+                    print(f"[leiden_scale] driver-kernel finish: +{sub.passes} passes "
+                          f"({time.time() - t0:.1f}s)")
+                break
+
+            # ---- distributed pass (sweep strategy) ----
+            t_ph = time.time()
+            if carried is None:
+                # A2 from the edge table (first pass / resume)
+                vt = (
+                    g.groupBy("src")
+                    .agg(F.sum("w").alias("vtot"), F.count(F.lit(1)).alias("deg"))
+                    .toPandas().sort_values("src")
+                )
+                vid_arr = vt["src"].to_numpy(np.int64)
+                vtot_arr = vt["vtot"].to_numpy()
+                bal = vt["deg"].to_numpy(np.float64)
+            else:
+                # passes ≥ 2: the super-vertex weight IS the previous pass's
+                # community weight (Σ member vtot, self-loops included) — the
+                # driver already holds it, no Spark job needed
+                vid_arr, vtot_arr = carried
+                bal = vtot_arr
+            t_vt = time.time() - t_ph
+            state = DriverState(vid_arr, vtot_arr)
+            t_ph = time.time()
+            part_edges = _range_partition_edges(
+                spark, g, state.vid, bal, num_partitions
+            ).persist()
+            part_edges.count()                     # materialize the pass shuffle
             if pending_unpersist is not None:
+                # the lazy multigraph relabel has now been folded into this
+                # shuffle's map stage; its input (last pass's partitions) can go
                 pending_unpersist.unpersist()
                 pending_unpersist = None
-            if ucom is None:
-                n_orig = n_vid
-            ucom = _materialize(memb_df if ucom is None else _compose(ucom, memb_df, n_vid))
-            total_iters += sub.iterations
-            p += sub.passes
-            metrics.append({"pass": p, "strategy": "driver-kernel",
-                            "vertices": n_vid, "edges": int(n_edges),
-                            "kernel_passes": sub.passes,
-                            "pass_seconds": round(time.time() - t0, 3)})
+            # previous passes' relabel broadcasts are fully consumed now
+            # (lazy g executed by this shuffle; ucom composes materialize
+            # within their own pass) — release the torrent blocks
+            for _bc in rel_keepalive:
+                try:
+                    _bc.destroy()
+                except Exception:
+                    pass
+            rel_keepalive.clear()
+            t_part = time.time() - t_ph
+            gn = len(state.vid)
+
+            # vid/vtot are pass-constant: broadcast them ONCE per pass; each
+            # round ships only the mutable half (comm, ctot, seed/bound) — half
+            # the per-round driver serialization and torrent traffic, and the
+            # static blocks stay warm in every reused Python worker
+            bc_static = sc.broadcast({"vid": state.vid, "vtot": state.vtot})
+            # per-pass frontier-feed threshold: coarse passes shrink below the
+            # gate and drop back to the full feed of their (small) cached table
+            fthr = (frontier_threshold if frontier_threshold is not None
+                    else (aff_seed_fraction if n_edges >= _FRONTIER_FEED_EDGE_GATE
+                          else 0.0))
+            # per-pass driver-hop accounting: the sweep's only non-executor
+            # segments are (a) the per-round dyn-state broadcast build, (b) the
+            # blocking job+mover-collect action, (c) the numpy state apply —
+            # recorded so scaling runs can attribute core-independent time
+            # (tools/amdahl.py) to a measured segment instead of a guess
+            hop = {"bcast": 0.0, "job_collect": 0.0, "rows_out": 0, "apply": 0.0}
+
+            def run_sweep(dyn_dict, refine_flag, E_cur, direction=0, feed=None):
+                # the in-task sweep sees ~1/P of the graph, so its share of the
+                # global gain budget is E/P — a task that compares its local
+                # gain sum to the GLOBAL E quits ~P× too early and pushes the
+                # convergence work into many more (expensive) coarse rounds
+                E_task = E_cur / max(num_partitions, 1)
+                t_b = time.time()
+                bc = sc.broadcast(dyn_dict)
+                hop["bcast"] += time.time() - t_b
+                try:
+                    t_j = time.time()
+                    out = (feed if feed is not None else part_edges).mapInPandas(
+                        lambda it: sweep_partition(it, {**bc_static.value, **bc.value},
+                                                   M, R, E_task,
+                                                   1 if refine_flag else local_iters,
+                                                   refine_flag, direction),
+                        schema=_MOVES_SCHEMA,
+                    ).toPandas()
+                    hop["job_collect"] += time.time() - t_j
+                    hop["rows_out"] += int(len(out))
+                finally:
+                    bc.destroy()
+                return out
+
+            def frontier_feed(mover_ids):
+                """JVM-side frontier cut for aff-seeded rounds: ship through
+                Arrow only the full adjacency of vertices with a moved
+                neighbor. Broadcast semi-joins are map-side filters, so the
+                range-bucket partitioning and (src,dst) order are preserved —
+                the sweep task contract is unchanged, just on O(frontier)
+                rows. At 100 TB this is what makes late rounds ~free."""
+                import pandas as pd
+                mv = spark.createDataFrame(
+                    pd.DataFrame({"dst": np.asarray(mover_ids, dtype="int64")}))
+                aff = (
+                    part_edges.join(F.broadcast(mv), "dst", "left_semi")
+                    .select("src")
+                    # seeds self-activate in-task (blocked vertices), so their
+                    # own adjacency must be in the feed even when none of their
+                    # neighbors is seeded
+                    .unionByName(mv.select(F.col("dst").alias("src")))
+                    .distinct()
+                )
+                return part_edges.join(F.broadcast(aff), "src", "left_semi")
+
+            move_iters = 0
+            t_move0 = time.time()
+            el_prev = float("inf")
+            round_log: list[dict] = []
+            changed_pos = None            # aff seed (union of last 2 rounds' movers)
+            prev_pos = None               # movers of the immediately previous round
+            prev_sigs: list[tuple] = []   # limit-cycle detection (period ≤ 2)
+            for rnd in range(o.max_iterations):
+                # alternate move direction across coarse rounds to break
+                # cross-partition swap cycles (see sweep_partition docstring);
+                # a single partition has no stale state and sweeps freely
+                direction = 0 if num_partitions <= 1 else (-1 if rnd % 2 == 0 else 1)
+                t_rnd = time.time()
+                snap = state.snapshot(static=False)
+                feed = None
+                if changed_pos is not None and len(changed_pos):
+                    snap["changed_pos"] = changed_pos
+                    # JVM-side frontier cut only below the threshold fraction
+                    # (default: every seeded round once the pass's edge table
+                    # clears the auto gate — see _FRONTIER_FEED_EDGE_GATE)
+                    if len(changed_pos) < fthr * gn:
+                        feed = frontier_feed(state.vid[changed_pos])
+                out = run_sweep(snap, False, E, direction, feed=feed)
+                move_iters += 1
+                # split movers from direction-blocked pending moves (blocked=1
+                # rows carry an unchanged label; they are applied nowhere but
+                # stay in the aff seed so the flipped direction releases them)
+                mv = out[out["blocked"] == 0] if len(out) else out
+                n_blocked = int(len(out) - len(mv))
+                if len(mv):
+                    t_ap = time.time()
+                    pos_mv = state.pos(mv["id"].to_numpy(np.int64))
+                    state.comm[pos_mv] = mv["community_new"].to_numpy(np.int64)
+                    state.recompute_ctot()
+                    hop["apply"] += time.time() - t_ap
+                if len(out):
+                    # aff-seed the next round only when the frontier is small:
+                    # a big mover set needs a full re-equilibration round (frontier
+                    # waves otherwise keep el hovering at the tolerance), while a
+                    # small one makes the next round O(frontier) — the 100 TB tail.
+                    # Seed with the UNION of the last two rounds' movers AND
+                    # blocked vertices: rounds alternate direction, so a vertex
+                    # activated by a round-r move must stay scannable through r+1
+                    # AND r+2 (one round of each direction), and a vertex whose
+                    # only positive move was direction-blocked (blocked=1 row)
+                    # must be rescanned after the flip (unlike the reference's
+                    # direction-free vaff pruning, inc/leiden.hxx:656,661-662)
+                    pos = state.pos(out["id"].to_numpy(np.int64))
+                    seed = pos if prev_pos is None else np.union1d(pos, prev_pos)
+                    changed_pos = seed if len(seed) < aff_seed_fraction * gn else None
+                    prev_pos = pos
+                else:
+                    changed_pos = np.empty(0, dtype=np.int64)
+                    prev_pos = changed_pos
+                el = float(mv["gain"].sum()) if len(mv) else 0.0
+                round_log.append({"seconds": round(time.time() - t_rnd, 2),
+                                  "movers": int(len(mv)), "blocked": n_blocked,
+                                  "el": round(el, 6), "fed": feed is not None})
+                # a direction-constrained round sees only half the move space, so
+                # convergence needs two consecutive below-tolerance rounds; a
+                # tiny-churn stop bounds synchronous label noise that never
+                # crosses E (the async reference has no such noise floor); a
+                # repeated (movers, gain, id-sum) signature means a period-≤2
+                # limit cycle that will never descend below E — stop
+                sig = (len(mv), round(el, 10),
+                       int(mv["id"].sum()) if len(mv) else 0)
+                cycle = sig in prev_sigs
+                prev_sigs = (prev_sigs + [sig])[-2:]
+                tiny = len(mv) <= max(8, gn // 2000)
+                # plateau: alternating-direction sweeps can descend very slowly
+                # near a swap-rich fixed point (el improves <30% per 3-round
+                # window) — aggregation + the next pass converges the residue
+                # far cheaper than more same-level rounds, so hand off instead
+                # of grinding to the iteration cap (deterministic rule)
+                els = [r["el"] for r in round_log]
+                plateau = len(els) >= 6 and min(els[-3:]) > 0.7 * min(els[-6:-3])
+                # pending blocked moves veto the tiny/tolerance stops (the next
+                # round's flipped direction releases them); cycle and plateau
+                # remain hard stops (bounded work)
+                if len(out) == 0 or cycle or plateau or (
+                        n_blocked == 0 and (tiny or (
+                            el <= E and (direction == 0 or el_prev <= E)))):
+                    break
+                el_prev = el
+            t_move = time.time() - t_move0
+
+            t_ref0 = time.time()
+            t_ref_job = t_ref_apply = 0.0
+            if refine:
+                bound = state.comm.copy()
+                state.comm = state.vid.copy()          # singleton re-init
+                state.ctot = state.vtot.copy()
+                out = run_sweep(state.snapshot(bound, static=False), True, E)
+                t_ref_job = time.time() - t_ref0
+                if len(out):
+                    # Ascending-id sequential acceptance (the source-still-
+                    # singleton recheck, inc/leiden.hxx:536-548) — vectorized.
+                    # After singleton re-init every mover's source community is
+                    # itself, so the sequential semantics reduce to: a move u→c
+                    # is rejected iff some ACCEPTED mover w < u targeted
+                    # community u (ctot[u] then exceeds vtot[u] when u is
+                    # processed). Dependencies only point from smaller to larger
+                    # ids, so the unique fixpoint is reached by iterating the
+                    # rejection map — each numpy pass settles one more stratum
+                    # of the (short in practice) dependency chains; O(movers)
+                    # work per pass instead of a per-mover Python loop.
+                    out = out.sort_values("id")
+                    uid = out["id"].to_numpy(np.int64)          # ascending
+                    tgt = out["community_new"].to_numpy(np.int64)
+                    ups = state.pos(uid)
+                    tps = state.pos(tgt)
+                    uvt = state.vtot[ups]
+                    INF = np.iinfo(np.int64).max
+                    order = np.argsort(tgt, kind="stable")
+                    tgt_s = tgt[order]
+                    uid_s = uid[order]
+                    seg = np.flatnonzero(np.concatenate([[True], tgt_s[1:] != tgt_s[:-1]]))
+                    seg_tgt = tgt_s[seg]                        # distinct targets
+                    u_seg = np.minimum(np.searchsorted(seg_tgt, uid), len(seg) - 1)
+                    has_in = seg_tgt[u_seg] == uid              # u is someone's target
+                    acc = np.ones(len(uid), dtype=bool)
+                    for _ in range(len(uid) + 1):
+                        # per-target min id among currently-accepted in-movers
+                        # (zero-weight movers leave ctot at vtot — not a
+                        # rejection), then: u rejected iff that min < u
+                        cand_id = np.where(acc[order] & (uvt[order] > 0), uid_s, INF)
+                        seg_min = np.minimum.reduceat(cand_id, seg)
+                        min_in = np.where(has_in, seg_min[u_seg], INF)
+                        new_acc = ~(min_in < uid)
+                        if np.array_equal(new_acc, acc):
+                            break
+                        acc = new_acc
+                    a = np.flatnonzero(acc)
+                    state.comm[ups[a]] = tgt[a]
+                    np.add.at(state.ctot, ups[a], -uvt[a])
+                    np.add.at(state.ctot, tps[a], uvt[a])
+                t_ref_apply = time.time() - t_ref0 - t_ref_job
+            t_ref = time.time() - t_ref0
+            bc_static.destroy()
+
+            total_iters += max(move_iters, 1)
+            p += 1
+            cn = state.n_communities()
+            rec = {"pass": p, "strategy": "sweep", "move_iterations": move_iters,
+                   "vertices": gn, "communities": cn, "edges": int(n_edges),
+                   "tolerance": E, "move_seconds": round(t_move, 3),
+                   "refine_seconds": round(t_ref, 3),
+                   "refine_job_seconds": round(t_ref_job, 3),
+                   "refine_apply_seconds": round(t_ref_apply, 3),
+                   "vt_seconds": round(t_vt, 3),
+                   "partition_seconds": round(t_part, 3),
+                   "driver_hop": {k: (round(v, 3) if isinstance(v, float) else v)
+                                  for k, v in hop.items()},
+                   "rounds": round_log,
+                   "pass_seconds": round(time.time() - t0, 3)}
+            metrics.append(rec)
             if verbose:
-                print(f"[leiden_scale] driver-kernel finish: +{sub.passes} passes "
-                      f"({time.time() - t0:.1f}s)")
-            break
+                print(f"[leiden_scale] pass={p} sweep iters={move_iters} GN={gn} CN={cn} "
+                      f"E={E:g} (move={t_move:.1f}s refine={t_ref:.1f}s total={time.time() - t0:.1f}s)")
 
-        # ---- distributed pass (sweep strategy) ----
-        t_ph = time.time()
-        if carried is None:
-            # A2 from the edge table (first pass / resume)
-            vt = (
-                g.groupBy("src")
-                .agg(F.sum("w").alias("vtot"), F.count(F.lit(1)).alias("deg"))
-                .toPandas().sort_values("src")
-            )
-            vid_arr = vt["src"].to_numpy(np.int64)
-            vtot_arr = vt["vtot"].to_numpy()
-            bal = vt["deg"].to_numpy(np.float64)
-        else:
-            # passes ≥ 2: the super-vertex weight IS the previous pass's
-            # community weight (Σ member vtot, self-loops included) — the
-            # driver already holds it, no Spark job needed
-            vid_arr, vtot_arr = carried
-            bal = vtot_arr
-        t_vt = time.time() - t_ph
-        state = DriverState(vid_arr, vtot_arr)
-        t_ph = time.time()
-        part_edges = _range_partition_edges(
-            spark, g, state.vid, bal, num_partitions
-        ).persist()
-        part_edges.count()                     # materialize the pass shuffle
-        if pending_unpersist is not None:
-            # the lazy multigraph relabel has now been folded into this
-            # shuffle's map stage; its input (last pass's partitions) can go
-            pending_unpersist.unpersist()
-            pending_unpersist = None
-        t_part = time.time() - t_ph
-        gn = len(state.vid)
-
-        # vid/vtot are pass-constant: broadcast them ONCE per pass; each
-        # round ships only the mutable half (comm, ctot, seed/bound) — half
-        # the per-round driver serialization and torrent traffic, and the
-        # static blocks stay warm in every reused Python worker
-        bc_static = sc.broadcast({"vid": state.vid, "vtot": state.vtot})
-        # per-pass frontier-feed threshold: coarse passes shrink below the
-        # gate and drop back to the full feed of their (small) cached table
-        fthr = (frontier_threshold if frontier_threshold is not None
-                else (aff_seed_fraction if n_edges >= _FRONTIER_FEED_EDGE_GATE
-                      else 0.0))
-        # per-pass driver-hop accounting: the sweep's only non-executor
-        # segments are (a) the per-round dyn-state broadcast build, (b) the
-        # blocking job+mover-collect action, (c) the numpy state apply —
-        # recorded so scaling runs can attribute core-independent time
-        # (tools/amdahl.py) to a measured segment instead of a guess
-        hop = {"bcast": 0.0, "job_collect": 0.0, "rows_out": 0, "apply": 0.0}
-
-        def run_sweep(dyn_dict, refine_flag, E_cur, direction=0, feed=None):
-            # the in-task sweep sees ~1/P of the graph, so its share of the
-            # global gain budget is E/P — a task that compares its local
-            # gain sum to the GLOBAL E quits ~P× too early and pushes the
-            # convergence work into many more (expensive) coarse rounds
-            E_task = E_cur / max(num_partitions, 1)
-            t_b = time.time()
-            bc = sc.broadcast(dyn_dict)
-            hop["bcast"] += time.time() - t_b
-            try:
-                t_j = time.time()
-                out = (feed if feed is not None else part_edges).mapInPandas(
-                    lambda it: sweep_partition(it, {**bc_static.value, **bc.value},
-                                               M, R, E_task,
-                                               1 if refine_flag else local_iters,
-                                               refine_flag, direction),
-                    schema=_MOVES_SCHEMA,
-                ).toPandas()
-                hop["job_collect"] += time.time() - t_j
-                hop["rows_out"] += int(len(out))
-            finally:
-                bc.destroy()
-            return out
-
-        def frontier_feed(mover_ids):
-            """JVM-side frontier cut for aff-seeded rounds: ship through
-            Arrow only the full adjacency of vertices with a moved
-            neighbor. Broadcast semi-joins are map-side filters, so the
-            range-bucket partitioning and (src,dst) order are preserved —
-            the sweep task contract is unchanged, just on O(frontier)
-            rows. At 100 TB this is what makes late rounds ~free."""
-            import pandas as pd
-            mv = spark.createDataFrame(
-                pd.DataFrame({"dst": np.asarray(mover_ids, dtype="int64")}))
-            aff = (
-                part_edges.join(F.broadcast(mv), "dst", "left_semi")
-                .select("src")
-                # seeds self-activate in-task (blocked vertices), so their
-                # own adjacency must be in the feed even when none of their
-                # neighbors is seeded
-                .unionByName(mv.select(F.col("dst").alias("src")))
-                .distinct()
-            )
-            return part_edges.join(F.broadcast(aff), "src", "left_semi")
-
-        move_iters = 0
-        t_move0 = time.time()
-        el_prev = float("inf")
-        round_log: list[dict] = []
-        changed_pos = None            # aff seed (union of last 2 rounds' movers)
-        prev_pos = None               # movers of the immediately previous round
-        prev_sigs: list[tuple] = []   # limit-cycle detection (period ≤ 2)
-        for rnd in range(o.max_iterations):
-            # alternate move direction across coarse rounds to break
-            # cross-partition swap cycles (see sweep_partition docstring);
-            # a single partition has no stale state and sweeps freely
-            direction = 0 if num_partitions <= 1 else (-1 if rnd % 2 == 0 else 1)
-            t_rnd = time.time()
-            snap = state.snapshot(static=False)
-            feed = None
-            if changed_pos is not None and len(changed_pos):
-                snap["changed_pos"] = changed_pos
-                # JVM-side frontier cut only below the threshold fraction
-                # (default: every seeded round once the pass's edge table
-                # clears the auto gate — see _FRONTIER_FEED_EDGE_GATE)
-                if len(changed_pos) < fthr * gn:
-                    feed = frontier_feed(state.vid[changed_pos])
-            out = run_sweep(snap, False, E, direction, feed=feed)
-            move_iters += 1
-            # split movers from direction-blocked pending moves (blocked=1
-            # rows carry an unchanged label; they are applied nowhere but
-            # stay in the aff seed so the flipped direction releases them)
-            mv = out[out["blocked"] == 0] if len(out) else out
-            n_blocked = int(len(out) - len(mv))
-            if len(mv):
-                t_ap = time.time()
-                pos_mv = state.pos(mv["id"].to_numpy(np.int64))
-                state.comm[pos_mv] = mv["community_new"].to_numpy(np.int64)
-                state.recompute_ctot()
-                hop["apply"] += time.time() - t_ap
-            if len(out):
-                # aff-seed the next round only when the frontier is small:
-                # a big mover set needs a full re-equilibration round (frontier
-                # waves otherwise keep el hovering at the tolerance), while a
-                # small one makes the next round O(frontier) — the 100 TB tail.
-                # Seed with the UNION of the last two rounds' movers AND
-                # blocked vertices: rounds alternate direction, so a vertex
-                # activated by a round-r move must stay scannable through r+1
-                # AND r+2 (one round of each direction), and a vertex whose
-                # only positive move was direction-blocked (blocked=1 row)
-                # must be rescanned after the flip (unlike the reference's
-                # direction-free vaff pruning, inc/leiden.hxx:656,661-662)
-                pos = state.pos(out["id"].to_numpy(np.int64))
-                seed = pos if prev_pos is None else np.union1d(pos, prev_pos)
-                changed_pos = seed if len(seed) < aff_seed_fraction * gn else None
-                prev_pos = pos
+            # renumber dense, order-preserving (R2)
+            t_ren = time.time()
+            uniq = np.unique(state.comm)
+            dense = np.searchsorted(uniq, state.comm)
+            n_vertices = int(uniq.size)  # next pass's vertex count
+            # next pass's dense vertex universe + carried vertex weights
+            carried = (np.arange(uniq.size, dtype=np.int64),
+                       state.ctot[state.pos(uniq)].copy())
+            # ONE torrent broadcast of the (vid → dense community) arrays
+            # replaces the driver-serial createDataFrame(|V| rows) plus the
+            # THREE broadcast-exchange builds it used to feed (two aggregate
+            # relabel joins + the dendrogram compose join) — each an O(|V|)
+            # driver collect + hash-relation build per pass, together the
+            # largest block of the measured Amdahl serial intercept. Size is
+            # 2×8B×|V|, the same order as the sweep's per-round state
+            # broadcast, so it holds wherever the sweep strategy itself does
+            # (≤ the documented 3×10⁸-vertex auto-switch to rounds).
+            bc_rel = sc.broadcast({"vid": state.vid.astype(np.int64),
+                                   "dense": dense.astype(np.int64)})
+            rel_keepalive.append(bc_rel)
+            if ucom is None:
+                n_orig = gn
+                ucom = _materialize(
+                    spark.range(0, gn, numPartitions=num_partitions)
+                    .mapInPandas(_memb_from_positions_fn(bc_rel),
+                                 "id long, community long"))
             else:
-                changed_pos = np.empty(0, dtype=np.int64)
-                prev_pos = changed_pos
-            el = float(mv["gain"].sum()) if len(mv) else 0.0
-            round_log.append({"seconds": round(time.time() - t_rnd, 2),
-                              "movers": int(len(mv)), "blocked": n_blocked,
-                              "el": round(el, 6), "fed": feed is not None})
-            # a direction-constrained round sees only half the move space, so
-            # convergence needs two consecutive below-tolerance rounds; a
-            # tiny-churn stop bounds synchronous label noise that never
-            # crosses E (the async reference has no such noise floor); a
-            # repeated (movers, gain, id-sum) signature means a period-≤2
-            # limit cycle that will never descend below E — stop
-            sig = (len(mv), round(el, 10),
-                   int(mv["id"].sum()) if len(mv) else 0)
-            cycle = sig in prev_sigs
-            prev_sigs = (prev_sigs + [sig])[-2:]
-            tiny = len(mv) <= max(8, gn // 2000)
-            # plateau: alternating-direction sweeps can descend very slowly
-            # near a swap-rich fixed point (el improves <30% per 3-round
-            # window) — aggregation + the next pass converges the residue
-            # far cheaper than more same-level rounds, so hand off instead
-            # of grinding to the iteration cap (deterministic rule)
-            els = [r["el"] for r in round_log]
-            plateau = len(els) >= 6 and min(els[-3:]) > 0.7 * min(els[-6:-3])
-            # pending blocked moves veto the tiny/tolerance stops (the next
-            # round's flipped direction releases them); cycle and plateau
-            # remain hard stops (bounded work)
-            if len(out) == 0 or cycle or plateau or (
-                    n_blocked == 0 and (tiny or (
-                        el <= E and (direction == 0 or el_prev <= E)))):
+                ucom = _materialize(
+                    ucom.mapInPandas(_compose_np_fn(bc_rel),
+                                     "id long, community long"))
+            rec["renumber_seconds"] = round(time.time() - t_ren, 3)
+
+            stop = move_iters <= 1 or p >= o.max_passes or float(cn) / gn >= o.aggregation_tolerance
+            if stop:
+                part_edges.unpersist()
                 break
-            el_prev = el
-        t_move = time.time() - t_move0
 
-        t_ref0 = time.time()
-        t_ref_job = t_ref_apply = 0.0
-        if refine:
-            bound = state.comm.copy()
-            state.comm = state.vid.copy()          # singleton re-init
-            state.ctot = state.vtot.copy()
-            out = run_sweep(state.snapshot(bound, static=False), True, E)
-            t_ref_job = time.time() - t_ref0
-            if len(out):
-                # Ascending-id sequential acceptance (the source-still-
-                # singleton recheck, inc/leiden.hxx:536-548) — vectorized.
-                # After singleton re-init every mover's source community is
-                # itself, so the sequential semantics reduce to: a move u→c
-                # is rejected iff some ACCEPTED mover w < u targeted
-                # community u (ctot[u] then exceeds vtot[u] when u is
-                # processed). Dependencies only point from smaller to larger
-                # ids, so the unique fixpoint is reached by iterating the
-                # rejection map — each numpy pass settles one more stratum
-                # of the (short in practice) dependency chains; O(movers)
-                # work per pass instead of a per-mover Python loop.
-                out = out.sort_values("id")
-                uid = out["id"].to_numpy(np.int64)          # ascending
-                tgt = out["community_new"].to_numpy(np.int64)
-                ups = state.pos(uid)
-                tps = state.pos(tgt)
-                uvt = state.vtot[ups]
-                INF = np.iinfo(np.int64).max
-                order = np.argsort(tgt, kind="stable")
-                tgt_s = tgt[order]
-                uid_s = uid[order]
-                seg = np.flatnonzero(np.concatenate([[True], tgt_s[1:] != tgt_s[:-1]]))
-                seg_tgt = tgt_s[seg]                        # distinct targets
-                u_seg = np.minimum(np.searchsorted(seg_tgt, uid), len(seg) - 1)
-                has_in = seg_tgt[u_seg] == uid              # u is someone's target
-                acc = np.ones(len(uid), dtype=bool)
-                for _ in range(len(uid) + 1):
-                    # per-target min id among currently-accepted in-movers
-                    # (zero-weight movers leave ctot at vtot — not a
-                    # rejection), then: u rejected iff that min < u
-                    cand_id = np.where(acc[order] & (uvt[order] > 0), uid_s, INF)
-                    seg_min = np.minimum.reduceat(cand_id, seg)
-                    min_in = np.where(has_in, seg_min[u_seg], INF)
-                    new_acc = ~(min_in < uid)
-                    if np.array_equal(new_acc, acc):
-                        break
-                    acc = new_acc
-                a = np.flatnonzero(acc)
-                state.comm[ups[a]] = tgt[a]
-                np.add.at(state.ctot, ups[a], -uvt[a])
-                np.add.at(state.ctot, tps[a], uvt[a])
-            t_ref_apply = time.time() - t_ref0 - t_ref_job
-        t_ref = time.time() - t_ref0
-        bc_static.destroy()
-
-        total_iters += max(move_iters, 1)
-        p += 1
-        cn = state.n_communities()
-        rec = {"pass": p, "strategy": "sweep", "move_iterations": move_iters,
-               "vertices": gn, "communities": cn, "edges": int(n_edges),
-               "tolerance": E, "move_seconds": round(t_move, 3),
-               "refine_seconds": round(t_ref, 3),
-               "refine_job_seconds": round(t_ref_job, 3),
-               "refine_apply_seconds": round(t_ref_apply, 3),
-               "vt_seconds": round(t_vt, 3),
-               "partition_seconds": round(t_part, 3),
-               "driver_hop": {k: (round(v, 3) if isinstance(v, float) else v)
-                              for k, v in hop.items()},
-               "rounds": round_log,
-               "pass_seconds": round(time.time() - t0, 3)}
-        metrics.append(rec)
-        if verbose:
-            print(f"[leiden_scale] pass={p} sweep iters={move_iters} GN={gn} CN={cn} "
-                  f"E={E:g} (move={t_move:.1f}s refine={t_ref:.1f}s total={time.time() - t0:.1f}s)")
-
-        # renumber dense, order-preserving (R2)
-        t_ren = time.time()
-        uniq = np.unique(state.comm)
-        dense = np.searchsorted(uniq, state.comm)
-        import pandas as pd
-        memb_df = spark.createDataFrame(pd.DataFrame(
-            {"id": state.vid.astype("int64"), "community": dense.astype("int64")}))
-        n_vertices = int(uniq.size)  # next pass's vertex count
-        # next pass's dense vertex universe + carried vertex weights
-        carried = (np.arange(uniq.size, dtype=np.int64),
-                   state.ctot[state.pos(uniq)].copy())
-        if ucom is None:
-            n_orig = gn
-        ucom = _materialize(memb_df if ucom is None else _compose(ucom, memb_df, gn))
-        rec["renumber_seconds"] = round(time.time() - t_ren, 3)
-
-        stop = move_iters <= 1 or p >= o.max_passes or float(cn) / gn >= o.aggregation_tolerance
-        if stop:
-            part_edges.unpersist()
-            break
-
-        # aggregate (A9): relabel both endpoints, sum — self-loops kept
-        t_agg = time.time()
-        ms = _maybe_broadcast(
-            memb_df.select(F.col("id").alias("src"), F.col("community").alias("cs")), gn)
-        md = _maybe_broadcast(
-            memb_df.select(F.col("id").alias("dst"), F.col("community").alias("cd")), gn)
-        joined = part_edges.join(ms, "src").join(md, "dst")
-        # giant-community skew (O7, SURVEY §7 hard-part 6): when the
-        # heaviest community holds a big share of total weight, the
-        # (cs, cd) grouping key concentrates on one reducer — measured
-        # from the driver's ctot (free), remedied with a two-stage salted
-        # partial aggregation instead of trusting AQE alone
-        heavy = bool(state.ctot.max() / (2.0 * M) > 0.2) if len(state.ctot) else False
-        # poor-collapse passes (CN within ~10× of GN — e.g. a noisy pass 1
-        # where 21.6M edges would "aggregate" to 20M rows) skip the
-        # (cs,cd) groupBy entirely: every downstream consumer SUMS edge
-        # weights (kernel tallies, vertex/community weights, modularity,
-        # the next aggregation), so a relabeled multigraph is semantically
-        # identical, and with a broadcast relabel map the whole aggregation
-        # becomes map-side — no shuffle of the big relation at all
-        # (measured: 37.5s grouped → 13.0s relabel-only at 2 cores on the
-        # 21.6M-edge planted graph). Good-collapse passes keep the groupBy
-        # (18.8M → 52k rows is worth a shuffle); skewed passes keep the
-        # salted two-stage variant.
-        multigraph = (not heavy and gn <= _BROADCAST_VERTEX_LIMIT
-                      and cn >= 0.1 * gn)
-        if heavy:
-            g = _materialize(
-                joined.withColumn("_salt", F.pmod(F.xxhash64("src"), F.lit(16)))
-                .groupBy("cs", "cd", "_salt").agg(F.sum("w").alias("w"))
-                .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
-                .agg(F.sum("w").alias("w"))
-            )
-        elif multigraph:
-            # LAZY handoff: the relabel is a map-side broadcast join with
-            # the SAME row count as its input, and its only consumer is the
-            # next pass's range-partition shuffle — materializing it here
-            # costs a full O(E) block-manager write + re-read purely to
-            # truncate lineage. Hand the plan over lazily instead: the join
-            # fuses into the next shuffle's map stage (one O(E) scan, zero
-            # intermediate writes), the known row count rides along (no
-            # count job), and the persisted input partitions stay alive
-            # until the next pass's shuffle has consumed them. Lineage depth
-            # grows by one broadcast join per consecutive multigraph pass —
-            # in practice only the noisy pass 1 takes this path (later
-            # passes collapse well and keep the grouped materialize).
-            g = joined.select(F.col("cs").alias("src"), F.col("cd").alias("dst"),
-                              F.col("w").cast("double").alias("w"))
-            if checkpointer is not None:
-                # resumable runs persist the aggregated graph anyway; a lazy
-                # plan would execute the join once per checkpoint write AND
-                # once in the next pass — materialize to keep it single-run
-                g = _materialize(g)
+            # aggregate (A9): relabel both endpoints, sum — self-loops kept.
+            # The relabel is a partition/order-preserving numpy transform on
+            # the broadcast (vid → dense) arrays — see _relabel_edges_fn;
+            # src is kept so the salted path's grouping key is unchanged.
+            t_agg = time.time()
+            joined = part_edges.mapInPandas(
+                _relabel_edges_fn(bc_rel, keep_src=True),
+                "src long, cs long, cd long, w double")
+            # giant-community skew (O7, SURVEY §7 hard-part 6): when the
+            # heaviest community holds a big share of total weight, the
+            # (cs, cd) grouping key concentrates on one reducer — measured
+            # from the driver's ctot (free), remedied with a two-stage salted
+            # partial aggregation instead of trusting AQE alone
+            heavy = bool(state.ctot.max() / (2.0 * M) > 0.2) if len(state.ctot) else False
+            # poor-collapse passes (CN within ~10× of GN — e.g. a noisy pass 1
+            # where 21.6M edges would "aggregate" to 20M rows) skip the
+            # (cs,cd) groupBy entirely: every downstream consumer SUMS edge
+            # weights (kernel tallies, vertex/community weights, modularity,
+            # the next aggregation), so a relabeled multigraph is semantically
+            # identical, and with a broadcast relabel map the whole aggregation
+            # becomes map-side — no shuffle of the big relation at all
+            # (measured: 37.5s grouped → 13.0s relabel-only at 2 cores on the
+            # 21.6M-edge planted graph). Good-collapse passes keep the groupBy
+            # (18.8M → 52k rows is worth a shuffle); skewed passes keep the
+            # salted two-stage variant.
+            multigraph = (not heavy and gn <= _BROADCAST_VERTEX_LIMIT
+                          and cn >= 0.1 * gn)
+            lazy_now = False
+            if heavy:
+                g = _materialize(
+                    joined.withColumn("_salt", F.pmod(F.xxhash64("src"), F.lit(16)))
+                    .groupBy("cs", "cd", "_salt").agg(F.sum("w").alias("w"))
+                    .groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+                    .agg(F.sum("w").alias("w"))
+                )
+            elif multigraph:
+                # LAZY handoff: the relabel is a map-side broadcast join with
+                # the SAME row count as its input, and its only consumer is the
+                # next pass's range-partition shuffle — materializing it here
+                # costs a full O(E) block-manager write + re-read purely to
+                # truncate lineage. Hand the plan over lazily instead: the join
+                # fuses into the next shuffle's map stage (one O(E) scan, zero
+                # intermediate writes), the known row count rides along (no
+                # count job), and the persisted input partitions stay alive
+                # until the next pass's shuffle has consumed them. Lineage depth
+                # grows by one broadcast join per consecutive multigraph pass —
+                # in practice only the noisy pass 1 takes this path (later
+                # passes collapse well and keep the grouped materialize).
+                g = joined.select(F.col("cs").alias("src"), F.col("cd").alias("dst"),
+                                  F.col("w").cast("double").alias("w"))
+                lazy_now = True
+                if checkpointer is not None:
+                    # resumable runs persist the aggregated graph anyway; a lazy
+                    # plan would execute the join once per checkpoint write AND
+                    # once in the next pass — materialize to keep it single-run
+                    g = _materialize(g)
+                    lazy_now = False
+                elif prev_lazy:
+                    # cap consecutive lazy handoffs at 1: a chain of
+                    # unmaterialized broadcast joins means a lost/evicted cache
+                    # block on a real cluster recomputes through every
+                    # unpersisted previous pass — materialize the 2nd-in-a-row
+                    # to cut the lineage (in practice only pass 1 is lazy; this
+                    # is the 100 TB-cluster guard)
+                    g = _materialize(g)
+                    lazy_now = False
+                elif p >= 2 or sym_input:
+                    # the relabel joins are row-preserving ONLY if every dst id
+                    # has a membership row: true by construction on passes ≥ 2
+                    # (vid is the dense 0..C-1 universe) and on pass 1 iff the
+                    # input edge table is symmetric (checked at setup via the
+                    # forward/reverse checksums — a dangling dst on an
+                    # asymmetric input would silently drop rows and make the
+                    # carried count a stale overcount feeding driver_threshold
+                    # routing and the frontier-feed gate)
+                    carried_edges = int(n_edges)
+                # else: keep the lazy plan but carry NO count — the next pass's
+                # g.count() re-measures truthfully (asymmetric-input pass 1)
             else:
-                carried_edges = int(n_edges)
-        else:
-            g = _materialize(
-                joined.groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
-                .agg(F.sum("w").alias("w"))
-            )
-        if carried_edges is None:
-            part_edges.unpersist()
-        else:
-            pending_unpersist = part_edges
-        rec["aggregate_seconds"] = round(time.time() - t_agg, 3)
-        rec["aggregate_salted"] = heavy
-        rec["aggregate_multigraph"] = multigraph
-        E /= o.tolerance_drop
-        if checkpointer is not None:
-            checkpointer.save(p, ucom, g, E, total_iters, metrics)
+                g = _materialize(
+                    joined.groupBy(F.col("cs").alias("src"), F.col("cd").alias("dst"))
+                    .agg(F.sum("w").alias("w"))
+                )
+            prev_lazy = lazy_now
+            if lazy_now:
+                # g still references part_edges' cached partitions; they are
+                # released only after the next pass's shuffle consumes them
+                pending_unpersist = part_edges
+            else:
+                part_edges.unpersist()
+            rec["aggregate_seconds"] = round(time.time() - t_agg, 3)
+            rec["aggregate_salted"] = heavy
+            rec["aggregate_multigraph"] = multigraph
+            E /= o.tolerance_drop
+            if checkpointer is not None:
+                checkpointer.save(p, ucom, g, E, total_iters, metrics)
+    finally:
+        # abnormal-exit cleanup (ADVICE r4): an exception between a lazy
+        # handoff and the next pass otherwise leaks the persisted
+        # part_edges blocks for the SparkSession lifetime if the caller
+        # catches and retries. unpersist is idempotent, so the normal
+        # exit paths (which already released their blocks) are no-ops.
+        for _df in (pending_unpersist, part_edges):
+            if _df is not None:
+                try:
+                    _df.unpersist()
+                except Exception:
+                    pass
+        for _bc in rel_keepalive:
+            try:
+                _bc.destroy()
+            except Exception:
+                pass
+        rel_keepalive.clear()
 
     t_q = time.time()
     q = modularity_df(edges0, ucom, M, R, n_vertices=n_orig)

@@ -4,7 +4,9 @@ Image/audio/video payloads are opaque ``binary`` columns with typed
 metadata. The Spark-side plumbing — schemas, Arrow batch shapes, UDF
 signatures, partition sizing — is real and tested. Decode status: PNG
 images decode/resize/re-encode for REAL via the vendored from-scratch codec
-(functions/png.py; PIL is preferred when the environment provides it),
+(functions/png.py — authoritative for PNG on every cluster so results don't
+depend on whether PIL is installed; PIL handles non-PNG formats when the
+environment provides it),
 RIFF/WAVE PCM audio decodes for REAL (functions/wav.py), and PNGV videos
 (a minimal concatenated-PNG container defined here) sample REAL decodable
 frames; other codecs fall back to a deterministic fake so pipelines stay
@@ -43,23 +45,28 @@ from ..functions import png as _png  # vendored from-scratch PNG codec
 def _decode_image(payload: bytes) -> np.ndarray:
     """Image decode behind a feature gate, tried in order:
 
-    1. PIL (any format) when the library is importable;
-    2. the vendored from-scratch PNG codec (functions/png.py) for PNG
-       payloads — a REAL decode that runs in this container;
+    1. the vendored from-scratch PNG codec (functions/png.py) for PNG
+       payloads — a REAL decode that runs in this container, and the
+       AUTHORITATIVE path for PNG on every cluster: PIL's 'L' mode rounds
+       its ITU-R 601 luma ((R·19595+G·38470+B·7471+0x8000)>>16) while the
+       codec truncates (·299/587/114 // 1000), so letting an installed PIL
+       take PNG would flip mean_luma by ±1 on some pixels and break the
+       captured oracle hash between PIL-present and PIL-absent clusters;
+    2. PIL (non-PNG formats: JPEG, WebP, …) when the library is importable;
     3. a deterministic fake (bytes → 16×16 pseudo-pixel grid) for opaque
        fixture payloads, so the Spark-side plumbing — schema, Arrow batch
        shape, UDF signature — is exercised end-to-end regardless."""
     if payload is None:
         raise NotImplementedError("image decode requires a payload")
+    if _png.is_png(payload):
+        return _png.to_grayscale(_png.decode_png(payload))
     if _PILImage is not None:
         import io
         try:
             with _PILImage.open(io.BytesIO(payload)) as im:
                 return np.asarray(im.convert("L"), dtype=np.uint8)
         except Exception:
-            pass  # not PIL-decodable → try the vendored codec / fake path
-    if _png.is_png(payload):
-        return _png.to_grayscale(_png.decode_png(payload))
+            pass  # not PIL-decodable → deterministic fake path
     arr = np.frombuffer(bytes(payload[:256]).ljust(256, b"\0"), dtype=np.uint8)
     return arr.reshape(16, 16)
 

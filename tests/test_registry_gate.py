@@ -1,12 +1,17 @@
-"""Registry/driver-gate drift guard (round-3 verdict, 'What's wrong' #1).
+"""Registry/driver-gate drift guard (round-3 verdict "What's wrong" #1;
+rewritten per round-4 verdict "What's wrong" #1).
 
 The correctness bar is: every key in queries() gets a green row in the
-DRIVER's CORRECTNESS_r*.json in the same round it is registered. Round 3
-shipped 53 registered queries against a 50-row driver file because the
-registry changed after the sweep. This test makes that drift loud at
-commit time: a key may be absent from the latest driver file ONLY if it is
-explicitly declared in REGISTERED_THIS_ROUND (new this round, locally
-gate-checked via tools/check_oracles.py before registration).
+DRIVER's CORRECTNESS_r*.json files. Round-4 evidence shows the driver
+sweeps only the FIRST ~50 registry keys per round (CORRECTNESS_r04 ==
+registry keys 0..49 exactly), so a single round's file cannot cover a
+64-key registry and keys legitimately rotate between sweeps. The guard
+therefore validates against the UNION of all rounds' driver files: a key
+may lack a driver row in EVERY round only if it is explicitly declared in
+REGISTERED_THIS_ROUND (new/never-swept, locally gate-checked via
+tools/check_oracles.py). A second guard asserts the registry order puts
+every never-verified key inside the sweep window so the next driver run
+picks it up.
 """
 
 import glob
@@ -15,39 +20,71 @@ import os
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# Observed driver sweep cap: r1..r4 emitted 41/49/50/50 rows, and the r4
+# file is exactly the first 50 registry keys in order.
+SWEEP_WINDOW = 50
 
-def _latest_correctness():
+
+def _correctness_files():
     files = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
     assert files, "no driver correctness file found"
-    with open(files[-1]) as f:
-        return files[-1], json.load(f)
+    out = []
+    for p in files:
+        with open(p) as f:
+            out.append((p, json.load(f)))
+    return out
 
 
-def test_every_registered_query_is_gate_covered_or_declared_new():
+def _is_green(row):
+    return (not row.get("err")) and row.get("rows_match") and \
+        row.get("schema_match") and row.get("hash_match", True)
+
+
+def _green_union():
+    green = set()
+    for _, rows in _correctness_files():
+        green |= {k for k, r in rows.items() if _is_green(r)}
+    return green
+
+
+def test_every_registered_query_has_a_driver_row_in_some_round_or_is_declared():
     from leiden_communities_openmp_spark.queries import QUERIES, REGISTERED_THIS_ROUND
 
-    path, rows = _latest_correctness()
-    undeclared = set(QUERIES) - set(rows) - REGISTERED_THIS_ROUND
+    green = _green_union()
+    undeclared = set(QUERIES) - green - REGISTERED_THIS_ROUND
     assert not undeclared, (
-        f"queries registered without a row in {os.path.basename(path)} and "
-        f"not declared in REGISTERED_THIS_ROUND: {sorted(undeclared)} — "
-        "run tools/check_oracles.py on them and declare them, or register "
-        "them before the round's correctness sweep"
+        "queries registered without a green driver row in ANY "
+        "CORRECTNESS_r*.json and not declared in REGISTERED_THIS_ROUND: "
+        f"{sorted(undeclared)} — run tools/check_oracles.py on them and "
+        "declare them, or wait for the next driver sweep"
     )
 
 
-def test_no_registered_query_has_a_red_driver_row():
+def test_never_verified_keys_sit_inside_the_sweep_window():
+    """The driver sweeps the first SWEEP_WINDOW registry keys; any key that
+    has never had a driver row must be ordered inside that window or it
+    will be missed again next round."""
     from leiden_communities_openmp_spark.queries import QUERIES
 
-    path, rows = _latest_correctness()
-    red = []
-    for k, r in rows.items():
-        if k not in QUERIES:
-            continue  # deregistered since that sweep
-        if r.get("err") or not (r.get("rows_match") and r.get("schema_match")
-                                and r.get("hash_match", True)):
-            red.append(k)
-    assert not red, f"registered queries with red rows in {os.path.basename(path)}: {red}"
+    green = _green_union()
+    order = list(QUERIES)
+    stranded = [k for i, k in enumerate(order)
+                if k not in green and i >= SWEEP_WINDOW]
+    assert not stranded, (
+        f"never-driver-verified keys ordered past index {SWEEP_WINDOW} "
+        f"(outside the driver's observed sweep window): {stranded} — "
+        "reorder QUERIES so they are swept next round"
+    )
+
+
+def test_no_registered_query_has_a_red_row_in_the_latest_sweep():
+    from leiden_communities_openmp_spark.queries import QUERIES
+
+    path, rows = _correctness_files()[-1]
+    red = [k for k, r in rows.items() if k in QUERIES and not _is_green(r)]
+    assert not red, (
+        f"registered queries with red rows in {os.path.basename(path)}: {red}"
+    )
 
 
 def test_declared_new_keys_are_actually_registered():
