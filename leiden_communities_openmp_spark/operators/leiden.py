@@ -237,45 +237,6 @@ def _broadcast_row_limit(spark: SparkSession, bytes_per_row: int = 48) -> int:
     return max(thr // bytes_per_row, 100_000)
 
 
-def _relabel_edges_fn(bc, keep_src: bool):
-    """mapInPandas generator: relabel (src, dst, w) edge batches through a
-    torrent-broadcast (vid → dense community) numpy map — the Arrow/numpy
-    replacement for two broadcast-HASH-join exchanges whose driver-side
-    collect + hash-relation build (O(|V|) each, per pass) dominated the
-    measured Amdahl serial intercept (BENCH/BASELINE.md round-4 table).
-
-    Partition- and order-preserving (a map-side transform, exactly like the
-    broadcast join it replaces), so downstream float aggregation sums see
-    identical rows in identical order → labels stay bit-identical.
-    Unmatched endpoints are DROPPED to replicate the inner-join semantics
-    (only possible on an asymmetric pass-1 input).
-
-    Factory (not a loop-local closure): the lazy multigraph handoff defers
-    execution to the next pass, and a closure over the loop variable would
-    see the REBOUND broadcast of the following pass."""
-    import pandas as pd
-
-    def gen(batches):
-        v = bc.value
-        vid, dense = v["vid"], v["dense"]
-        n = len(vid)
-        for b in batches:
-            src = b["src"].to_numpy().astype(np.int64, copy=False)
-            dst = b["dst"].to_numpy().astype(np.int64, copy=False)
-            si = np.minimum(np.searchsorted(vid, src), n - 1)
-            di = np.minimum(np.searchsorted(vid, dst), n - 1)
-            ok = (vid[si] == src) & (vid[di] == dst)
-            w = b["w"].to_numpy().astype(np.float64, copy=False)
-            if not ok.all():
-                src, si, di, w = src[ok], si[ok], di[ok], w[ok]
-            out = {"cs": dense[si], "cd": dense[di], "w": w}
-            if keep_src:
-                out = {"src": src, **out}
-            yield pd.DataFrame(out)
-
-    return gen
-
-
 def _memb_from_positions_fn(bc):
     """mapInPandas generator over spark.range(|V|): position → (vid[pos],
     dense[pos]) — builds the pass-1 membership relation in parallel from
@@ -1174,12 +1135,17 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             bc_rel = sc.broadcast({"vid": state.vid.astype(np.int64),
                                    "dense": dense.astype(np.int64)})
             rel_keepalive.append(bc_rel)
+            # membership relation built in PARALLEL from the broadcast
+            # arrays (position → (vid[pos], dense[pos])) instead of a
+            # driver-serial createDataFrame of |V| rows; consumed by the
+            # pass-1 ucom and the aggregate relabel joins below
+            memb_df = (
+                spark.range(0, gn, numPartitions=num_partitions)
+                .mapInPandas(_memb_from_positions_fn(bc_rel),
+                             "id long, community long"))
             if ucom is None:
                 n_orig = gn
-                ucom = _materialize(
-                    spark.range(0, gn, numPartitions=num_partitions)
-                    .mapInPandas(_memb_from_positions_fn(bc_rel),
-                                 "id long, community long"))
+                ucom = _materialize(memb_df)
             else:
                 ucom = _materialize(
                     ucom.mapInPandas(_compose_np_fn(bc_rel),
@@ -1192,13 +1158,18 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                 break
 
             # aggregate (A9): relabel both endpoints, sum — self-loops kept.
-            # The relabel is a partition/order-preserving numpy transform on
-            # the broadcast (vid → dense) arrays — see _relabel_edges_fn;
-            # src is kept so the salted path's grouping key is unchanged.
+            # The relabel stays a JVM broadcast-hash join: routing the O(E)
+            # edge relation through an Arrow/Python map instead was measured
+            # 2.5× slower on the 83M-row pass-2 multigraph (the per-row JVM
+            # join beats the Python hop by far more than the exchange-build
+            # saves) — the serial win is taken on the BUILD side instead,
+            # with memb_df produced in parallel from the broadcast arrays.
             t_agg = time.time()
-            joined = part_edges.mapInPandas(
-                _relabel_edges_fn(bc_rel, keep_src=True),
-                "src long, cs long, cd long, w double")
+            ms = _maybe_broadcast(
+                memb_df.select(F.col("id").alias("src"), F.col("community").alias("cs")), gn)
+            md = _maybe_broadcast(
+                memb_df.select(F.col("id").alias("dst"), F.col("community").alias("cd")), gn)
+            joined = part_edges.join(ms, "src").join(md, "dst")
             # giant-community skew (O7, SURVEY §7 hard-part 6): when the
             # heaviest community holds a big share of total weight, the
             # (cs, cd) grouping key concentrates on one reducer — measured
