@@ -227,3 +227,29 @@ def test_renumber_operator_has_no_single_task_exchange(spark):
     rows = out.collect()
     comms = sorted({r.community for r in rows})
     assert comms == list(range(len(comms)))
+
+
+def test_range_partition_bucket_bijection(spark):
+    """Regression guard (round 5): the range-bucket tag must be LONG so the
+    solved labels place bucket i exactly in partition i — with int32 tags
+    Murmur3 hashes differently and 64 buckets silently landed in ~40
+    partitions, making 2-3-bucket tasks the move-round straggler."""
+    import numpy as np
+
+    from leiden_communities_openmp_spark.operators.leiden import (
+        _range_partition_edges)
+
+    n, p = 64_000, 64
+    df = spark.range(n).select(
+        F.col("id").alias("src"), ((F.col("id") * 7) % n).alias("dst"),
+        F.lit(1.0).alias("w"))
+    vid = np.arange(n)
+    out = _range_partition_edges(spark, df, vid, np.ones(n), p)
+    rows = (out.select(F.spark_partition_id().alias("pid"), "src")
+            .groupBy("pid")
+            .agg(F.min("src").alias("lo"), F.max("src").alias("hi"))
+            .orderBy("pid").collect())
+    assert len(rows) == p, f"expected {p} non-empty partitions, got {len(rows)}"
+    # contiguous ascending src ranges in pid order = bucket i -> partition i
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi < b.lo
