@@ -459,3 +459,43 @@ def test_near_dup_clusters_transitive(spark):
     pairs = {(r["a"], r["b"]): r["jaccard"]
              for r in dd.ngram_jaccard_pairs(d, threshold=0.0, n=3).collect()}
     assert pairs[(10, 12)] < 0.7 <= min(pairs[(10, 11)], pairs[(11, 12)])
+
+
+def test_png_decode_ignores_pil_presence(monkeypatch):
+    """VERDICT r4 #8: a PIL-equipped cluster must produce the same mean_luma
+    the vendored codec does, or the captured image oracle hash flips with the
+    environment. The gate's contract (multimodal._decode_image): PNG payloads
+    take the vendored codec FIRST, regardless of PIL; only non-PNG payloads
+    may reach PIL. Simulated here with a fake PIL whose decode result is
+    deliberately different — PNG output must not change, and the non-PNG
+    payload must route through the fake (proving the gate order, not a
+    short-circuit)."""
+    import numpy as np
+
+    from leiden_communities_openmp_spark.functions import png
+    from leiden_communities_openmp_spark.operators import multimodal
+
+    img = ((np.arange(64, dtype=np.uint8).reshape(8, 8) * 37) % 256).astype(np.uint8)
+    payload = png.encode_png_gray(img)
+    vendored = multimodal._decode_image(payload)          # PIL absent (container truth)
+    assert np.array_equal(vendored, img)
+
+    class _FakeIm:
+        def __enter__(self):
+            return self
+        def __exit__(self, *a):
+            return False
+        def convert(self, mode):
+            return np.full((4, 4), 255, dtype=np.uint8)   # poisoned decode
+
+    class _FakePIL:
+        @staticmethod
+        def open(fp):
+            return _FakeIm()
+
+    monkeypatch.setattr(multimodal, "_PILImage", _FakePIL)
+    with_pil = multimodal._decode_image(payload)
+    assert np.array_equal(with_pil, vendored)             # PNG never reaches PIL
+
+    routed = multimodal._decode_image(b"JFIF-not-a-png")  # non-PNG DOES reach PIL
+    assert routed.shape == (4, 4) and (routed == 255).all()
