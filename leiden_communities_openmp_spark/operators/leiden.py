@@ -217,6 +217,11 @@ _BROADCAST_RELABEL_LIMIT = 8_000_000
 # BENCH/profile_4m_unfed_8c.json). Callers pin behavior with an explicit
 # frontier_threshold (0.0 = never feed).
 _FRONTIER_FEED_EDGE_GATE = 50_000_000
+# A/B switch: build fed rounds from the task-emitted affected-src set
+# (True, steady state — zero rediscovery scans) vs always the legacy JVM
+# frontier scan (False). Same shipped row set either way; exists so tests
+# and profiling can pin one path.
+_FEED_FROM_TASKS = True
 
 
 def _broadcast_row_limit(spark: SparkSession, bytes_per_row: int = 48) -> int:
@@ -854,15 +859,21 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             # ---- distributed pass (sweep strategy) ----
             t_ph = time.time()
             if carried is None:
-                # A2 from the edge table (first pass / resume)
+                # A2 from the edge table (first pass / resume). Arrow
+                # collect + numpy argsort: skips the pandas block
+                # consolidation and sort_values copy of the |V|-row collect
+                # (src is unique, so a stable argsort is exactly
+                # sort_values' order — values bit-identical)
                 vt = (
                     g.groupBy("src")
                     .agg(F.sum("w").alias("vtot"), F.count(F.lit(1)).alias("deg"))
-                    .toPandas().sort_values("src")
+                    .toArrow()
                 )
-                vid_arr = vt["src"].to_numpy(np.int64)
-                vtot_arr = vt["vtot"].to_numpy()
-                bal = vt["deg"].to_numpy(np.float64)
+                src_col = vt.column("src").to_numpy(zero_copy_only=False)
+                order = np.argsort(src_col, kind="stable")
+                vid_arr = src_col[order].astype(np.int64, copy=False)
+                vtot_arr = vt.column("vtot").to_numpy(zero_copy_only=False)[order]
+                bal = vt.column("deg").to_numpy(zero_copy_only=False)[order].astype(np.float64)
             else:
                 # passes ≥ 2: the super-vertex weight IS the previous pass's
                 # community weight (Σ member vtot, self-loops included) — the
@@ -883,13 +894,19 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                 pending_unpersist = None
             # previous passes' relabel broadcasts are fully consumed now
             # (lazy g executed by this shuffle; ucom composes materialize
-            # within their own pass) — release the torrent blocks
+            # within their own pass) — release the EXECUTOR copies only.
+            # destroy() here would be a latent crash: the cached part_edges
+            # lineage (kept for lost-block recompute) still references the
+            # lazy relabel's mapInPandas closure, and any later job that
+            # re-serializes that lineage (e.g. a fed round's frontier
+            # subquery) dies with INTERNAL_ERROR_BROADCAST. unpersist()
+            # keeps the driver copy re-fetchable; destroy happens once at
+            # run teardown (finally below).
             for _bc in rel_keepalive:
                 try:
-                    _bc.destroy()
+                    _bc.unpersist()
                 except Exception:
                     pass
-            rel_keepalive.clear()
             t_part = time.time() - t_ph
             gn = len(state.vid)
 
@@ -897,12 +914,18 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
             # round ships only the mutable half (comm, ctot, seed/bound) — half
             # the per-round driver serialization and torrent traffic, and the
             # static blocks stay warm in every reused Python worker
-            bc_static = sc.broadcast({"vid": state.vid, "vtot": state.vtot})
             # per-pass frontier-feed threshold: coarse passes shrink below the
             # gate and drop back to the full feed of their (small) cached table
             fthr = (frontier_threshold if frontier_threshold is not None
                     else (aff_seed_fraction if n_edges >= _FRONTIER_FEED_EDGE_GATE
                           else 0.0))
+            # task-side affected-neighbor emission cap (= the feed gate): a
+            # round whose global mover count clears it can hand the NEXT
+            # round's frontier src set to the driver for free — see
+            # sweep_partition._emit and the feed construction below
+            fcap = int(fthr * gn)
+            bc_static = sc.broadcast({"vid": state.vid, "vtot": state.vtot,
+                                      "emit_affected": fcap})
             # per-pass driver-hop accounting: the sweep's only non-executor
             # segments are (a) the per-round dyn-state broadcast build, (b) the
             # blocking job+mover-collect action, (c) the numpy state apply —
@@ -940,7 +963,13 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                 neighbor. Broadcast semi-joins are map-side filters, so the
                 range-bucket partitioning and (src,dst) order are preserved —
                 the sweep task contract is unchanged, just on O(frontier)
-                rows. At 100 TB this is what makes late rounds ~free."""
+                rows. At 100 TB this is what makes late rounds ~free.
+
+                FALLBACK path: used only when the previous rounds' tasks
+                could not emit the affected set themselves (mover count over
+                the gate) — it costs a full extra scan of ``part_edges`` per
+                fed round to rediscover the frontier srcs. The steady-state
+                path is ``feed_from_srcs`` below."""
                 import pandas as pd
                 mv = spark.createDataFrame(
                     pd.DataFrame({"dst": np.asarray(mover_ids, dtype="int64")}))
@@ -955,12 +984,29 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                 )
                 return part_edges.join(F.broadcast(aff), "src", "left_semi")
 
+            def feed_from_srcs(src_ids):
+                """Steady-state frontier cut: the affected-src set arrived
+                with the previous rounds' mover collect (task-emitted
+                blocked==2 rows — neighbors of movers, already distinct per
+                task), so the feed is ONE map-side broadcast semi-join on a
+                driver-local list: no extra scan of the edge table, no
+                distinct shuffle, no second job per fed round. By graph
+                symmetry the src set equals the set frontier_feed's reverse
+                semi-join would compute — the shipped rows are identical."""
+                import pandas as pd
+                adf = spark.createDataFrame(
+                    pd.DataFrame({"src": np.asarray(src_ids, dtype="int64")}))
+                return part_edges.join(F.broadcast(adf), "src", "left_semi")
+
             move_iters = 0
             t_move0 = time.time()
             el_prev = float("inf")
             round_log: list[dict] = []
             changed_pos = None            # aff seed (union of last 2 rounds' movers)
             prev_pos = None               # movers of the immediately previous round
+            feed_src_ids = None           # task-emitted affected srcs for the feed
+            aff_now_ids = None            # this round's affected set (or None)
+            aff_prev_ids = None           # previous round's
             prev_sigs: list[tuple] = []   # limit-cycle detection (period ≤ 2)
             for rnd in range(o.max_iterations):
                 # alternate move direction across coarse rounds to break
@@ -970,15 +1016,35 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                 t_rnd = time.time()
                 snap = state.snapshot(static=False)
                 feed = None
+                feed_kind = None
                 if changed_pos is not None and len(changed_pos):
                     snap["changed_pos"] = changed_pos
                     # JVM-side frontier cut only below the threshold fraction
                     # (default: every seeded round once the pass's edge table
                     # clears the auto gate — see _FRONTIER_FEED_EDGE_GATE)
                     if len(changed_pos) < fthr * gn:
-                        feed = frontier_feed(state.vid[changed_pos])
+                        if feed_src_ids is not None and _FEED_FROM_TASKS:
+                            feed = feed_from_srcs(feed_src_ids)
+                            feed_kind = "free"
+                        else:
+                            feed = frontier_feed(state.vid[changed_pos])
+                            feed_kind = "scan"
                 out = run_sweep(snap, False, E, direction, feed=feed)
                 move_iters += 1
+                # blocked==2 rows are task-emitted affected neighbors (feed
+                # bookkeeping, not moves): split them off before anything
+                # reads mover counts, seeds, or stop signatures
+                if len(out):
+                    nbr_ids = out.loc[out["blocked"] == 2, "id"].to_numpy(np.int64)
+                    out = out[out["blocked"] != 2]
+                else:
+                    nbr_ids = np.empty(0, dtype=np.int64)
+                # the union is complete only when the GLOBAL mover count is
+                # within the task emission cap (then every task emitted)
+                aff_now_ids = (
+                    np.union1d(np.unique(nbr_ids), out["id"].to_numpy(np.int64))
+                    if 0 < len(out) <= fcap
+                    else (np.empty(0, dtype=np.int64) if len(out) == 0 else None))
                 # split movers from direction-blocked pending moves (blocked=1
                 # rows carry an unchanged label; they are applied nowhere but
                 # stay in the aff seed so the flipped direction releases them)
@@ -986,9 +1052,8 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                 n_blocked = int(len(out) - len(mv))
                 if len(mv):
                     t_ap = time.time()
-                    pos_mv = state.pos(mv["id"].to_numpy(np.int64))
-                    state.comm[pos_mv] = mv["community_new"].to_numpy(np.int64)
-                    state.recompute_ctot()
+                    state.apply_moves(mv["id"].to_numpy(np.int64),
+                                      mv["community_new"].to_numpy(np.int64))
                     hop["apply"] += time.time() - t_ap
                 if len(out):
                     # aff-seed the next round only when the frontier is small:
@@ -1005,14 +1070,28 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                     pos = state.pos(out["id"].to_numpy(np.int64))
                     seed = pos if prev_pos is None else np.union1d(pos, prev_pos)
                     changed_pos = seed if len(seed) < aff_seed_fraction * gn else None
+                    # the feed src set mirrors the seed union EXACTLY:
+                    # neighbors(seed)∪seed = aff_now ∪ aff_prev; missing
+                    # halves (emission over cap) fall back to the JVM scan
+                    if prev_pos is None:
+                        feed_src_ids = aff_now_ids
+                    elif aff_now_ids is not None and aff_prev_ids is not None:
+                        feed_src_ids = np.union1d(aff_now_ids, aff_prev_ids)
+                    else:
+                        feed_src_ids = None
                     prev_pos = pos
                 else:
                     changed_pos = np.empty(0, dtype=np.int64)
                     prev_pos = changed_pos
+                    feed_src_ids = np.empty(0, dtype=np.int64)
+                aff_prev_ids = aff_now_ids
                 el = float(mv["gain"].sum()) if len(mv) else 0.0
                 round_log.append({"seconds": round(time.time() - t_rnd, 2),
                                   "movers": int(len(mv)), "blocked": n_blocked,
-                                  "el": round(el, 6), "fed": feed is not None})
+                                  "el": round(el, 6), "fed": feed is not None,
+                                  # free = frontier srcs task-emitted (no
+                                  # rediscovery scan); scan = legacy fallback
+                                  "feed_src": feed_kind})
                 # a direction-constrained round sees only half the move space, so
                 # convergence needs two consecutive below-tolerance rounds; a
                 # tiny-churn stop bounds synchronous label noise that never
@@ -1047,6 +1126,7 @@ def leiden_scale(spark: SparkSession, edges: DataFrame, options: LeidenOptions |
                 bound = state.comm.copy()
                 state.comm = state.vid.copy()          # singleton re-init
                 state.ctot = state.vtot.copy()
+                state.comm_pos = np.arange(gn, dtype=np.int64)
                 out = run_sweep(state.snapshot(bound, static=False), True, E)
                 t_ref_job = time.time() - t_ref0
                 if len(out):

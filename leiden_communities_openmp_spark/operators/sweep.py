@@ -48,13 +48,24 @@ class DriverState:
         self.vtot = np.asarray(vtot, dtype=np.float64)
         self.comm = self.vid.copy()   # singleton init (inc/leiden.hxx:274-279)
         self.ctot = self.vtot.copy()
+        # comm as vid positions, maintained incrementally by apply_moves —
+        # avoids an O(V log V) searchsorted per recompute (driver-serial)
+        self.comm_pos = np.arange(len(self.vid), dtype=np.int64)
 
     def pos(self, ids: np.ndarray) -> np.ndarray:
         return np.searchsorted(self.vid, ids)
 
-    def recompute_ctot(self) -> None:
-        self.ctot = np.zeros_like(self.vtot)
-        np.add.at(self.ctot, self.pos(self.comm), self.vtot)
+    def apply_moves(self, ids: np.ndarray, new_comm: np.ndarray) -> None:
+        """Apply a round's net moves and refresh ctot. bincount iterates its
+        input sequentially exactly like np.add.at, so the per-bucket float
+        addition order (and therefore ctot, and therefore every downstream
+        gain decision) is bit-identical to the full scatter recompute —
+        just ~10× faster and without the per-round searchsorted."""
+        p = self.pos(ids)
+        self.comm[p] = new_comm
+        self.comm_pos[p] = self.pos(new_comm)
+        self.ctot = np.bincount(
+            self.comm_pos, weights=self.vtot, minlength=len(self.vtot))
 
     def snapshot(self, bound: np.ndarray | None = None, static: bool = True) -> dict:
         """State dict for sweep_partition. ``static=False`` omits the
@@ -187,20 +198,44 @@ def sweep_partition(pdf_iter, state: dict, M: float, R: float, E: float,
         """Net movers (final label != round-start) plus direction-blocked
         positive movers that did NOT net-move — the driver applies only
         blocked==0 rows and unions blocked==1 ids into the next round's
-        seed so the flipped direction releases the pending move."""
+        seed so the flipped direction releases the pending move.
+
+        When ``state["emit_affected"]`` (a row cap = the driver's frontier
+        gate) is set and this task's mover+blocked count is within it,
+        blocked==2 rows carry the distinct NEIGHBOR ids of this task's
+        movers — the next coarse round's affected-src set, computed here
+        for free from the adjacency already in-task. A mover's full
+        adjacency is always present (a fed round ships every row of each
+        seeded src, and a mover is by definition seeded), and the graph is
+        symmetric, so the union of these rows across tasks equals exactly
+        the JVM semi-join frontier scan they replace — the driver builds
+        the next feed from them without re-scanning the edge table. Tasks
+        whose count exceeds the cap skip emission; the driver only trusts
+        the union when the GLOBAL count is within the cap (which implies
+        every task emitted)."""
         net = ever_moved & (commp[upos] != np.searchsorted(vid, commp0)[upos])
         mk = np.flatnonzero(net)
         bk = np.flatnonzero(blocked_u.astype(bool) & ~net)
+        nbr = np.empty(0, dtype=np.int64)
+        cap = int(state.get("emit_affected", 0))
+        nm = len(mk) + len(bk)
+        if cap and not refine and 0 < nm <= cap:
+            sel = np.zeros(nu, dtype=bool)
+            sel[mk] = True
+            sel[bk] = True
+            nbr = vid[np.unique(dstp[sel[row_u]])]
         return pd.DataFrame({
-            "id": pd.Series(np.concatenate([u_ids[mk], u_ids[bk]]), dtype="int64"),
+            "id": pd.Series(np.concatenate([u_ids[mk], u_ids[bk], nbr]), dtype="int64"),
             "community_new": pd.Series(
-                np.concatenate([vid[commp[upos[mk]]], vid[commp[upos[bk]]]]),
+                np.concatenate([vid[commp[upos[mk]]], vid[commp[upos[bk]]], nbr]),
                 dtype="int64"),
             "gain": pd.Series(
-                np.concatenate([acc_gain[mk], acc_gain[bk]]), dtype="float64"),
+                np.concatenate([acc_gain[mk], acc_gain[bk],
+                                np.zeros(len(nbr), np.float64)]), dtype="float64"),
             "blocked": pd.Series(
                 np.concatenate([np.zeros(len(mk), np.int32),
-                                np.ones(len(bk), np.int32)]), dtype="int32"),
+                                np.ones(len(bk), np.int32),
+                                np.full(len(nbr), 2, np.int32)]), dtype="int32"),
         })
 
     from ._ckernel import get_kernel

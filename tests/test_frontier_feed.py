@@ -70,6 +70,58 @@ def test_aff_seed_fraction_default_unchanged(spark):
     assert _labels(a) == _labels(b)
 
 
+def test_feed_from_tasks_matches_legacy_scan(spark, monkeypatch):
+    """The task-emitted frontier (sweep tasks hand back the next round's
+    affected-src set as blocked==2 rows; the feed becomes one broadcast
+    semi-join on a driver-local list) must ship the IDENTICAL row set the
+    legacy JVM rediscovery scan computes (graph symmetry: dsts of mover
+    rows == srcs with a moved neighbor) — labels, modularity, and round
+    structure bit-identical, with the free path actually engaging."""
+    from leiden_communities_openmp_spark.operators import leiden as L
+    edges = _graph(spark)
+    free = _run(spark, edges, 1.0)
+    monkeypatch.setattr(L, "_FEED_FROM_TASKS", False)
+    scan = _run(spark, edges, 1.0)
+    assert _labels(free) == _labels(scan)
+    assert math.isclose(free.modularity, scan.modularity, abs_tol=1e-12)
+    kinds_free = {r.get("feed_src") for m in free.metrics if "pass" in m
+                  for r in m.get("rounds", []) if r.get("fed")}
+    kinds_scan = {r.get("feed_src") for m in scan.metrics if "pass" in m
+                  for r in m.get("rounds", []) if r.get("fed")}
+    assert "free" in kinds_free, "task-emitted feed path never engaged"
+    assert kinds_scan == {"scan"}, "legacy pin leaked the free path"
+
+
+def test_lazy_multigraph_fed_rounds_survive_pass_boundary(spark):
+    """Regression: a fed round in a pass AFTER a lazy multigraph handoff
+    re-serializes the cached part_edges lineage, which still references the
+    previous pass's relabel broadcast. destroy()-ing that broadcast at the
+    pass boundary crashed every such run with INTERNAL_ERROR_BROADCAST
+    (reproduced on a 6k cycle graph — poor collapse keeps every pass a lazy
+    multigraph); the boundary now only unpersist()s executor copies. The
+    fixture must complete, take the lazy path, and actually feed rounds in
+    passes >= 2."""
+    import pyspark.sql.functions as SF
+    n = 6000
+    e = spark.range(n).select(
+        SF.col("id").alias("src"), ((SF.col("id") + 1) % n).alias("dst"),
+        SF.lit(1.0).alias("w"))
+    e = e.unionByName(
+        e.select(SF.col("dst").alias("src"), SF.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+    res = leiden_scale(spark, e, LeidenOptions(), driver_threshold=0,
+                       driver_vertex_threshold=0, num_partitions=4,
+                       aff_seed_fraction=1.0, frontier_threshold=1.0)
+    lazy_passes = [m["pass"] for m in res.metrics
+                   if m.get("aggregate_multigraph")]
+    assert lazy_passes, "cycle fixture no longer takes the lazy handoff"
+    fed_late = [r for m in res.metrics
+                if "pass" in m and m["pass"] >= 2
+                for r in m.get("rounds", []) if r.get("fed")]
+    assert fed_late, "no fed round after a lazy pass boundary"
+    assert res.modularity > 0.9
+
+
 def test_auto_gate_engages_above_edge_gate(spark, monkeypatch):
     """frontier_threshold=None decides per pass from the edge-row gate
     (_FRONTIER_FEED_EDGE_GATE): below it the run is bit-identical to a
